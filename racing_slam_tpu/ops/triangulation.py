@@ -1,0 +1,115 @@
+"""Batched two-view DLT triangulation with validity filtering.
+
+TPU-native replacement for the reference triangulation path
+(src/Triangulation.cpp:37-98, which wraps cv::triangulatePoints): instead of
+per-point SVD on dynamically-sized vectors, we triangulate ALL matches at once
+as a batched 4x4 symmetric eigenproblem and return a static-shape validity
+mask instead of a compacted list.
+
+Filters reproduce the reference exactly:
+  - behind-either-camera:     z < 0 in either view   (Triangulation.cpp:67-73)
+  - low parallax:             cos(angle) > 0.9999    (Triangulation.cpp:76-81)
+  - reprojection error:       > 2 px in either view  (Triangulation.cpp:84-92)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .precision import f32_precision
+
+from . import se3
+from .camera import Camera, project_camera_points, projection_matrix
+
+MAX_PARALLAX_COS = 0.9999  # Triangulation.cpp:80
+MAX_REPROJ_ERR_PX = 2.0  # Triangulation.cpp:90
+
+
+class Triangulated(NamedTuple):
+    """Static-shape result: one slot per input match."""
+
+    points: jnp.ndarray  # [N, 3] world positions (garbage where ~valid)
+    valid: jnp.ndarray  # [N] bool — passed all filters (and input mask)
+
+
+def _dlt_homogeneous(
+    P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
+) -> jnp.ndarray:
+    """Linear triangulation for a batch of correspondences.
+
+    P1, P2: [3, 4] projection matrices; uv1, uv2: [N, 2] pixels.
+    Returns homogeneous points [N, 4] (smallest eigenvector of A^T A).
+
+    A is the standard DLT stack (u * P[2] - P[0]; v * P[2] - P[1]) per view.
+    Solving min-eigvec of the 4x4 normal matrix is algebraically the same
+    null-space as cv::triangulatePoints' SVD, but batches perfectly on TPU
+    (jnp.linalg.eigh over [N, 4, 4]).
+    """
+    rows = []
+    for P, uv in ((P1, uv1), (P2, uv2)):
+        u = uv[..., 0:1]
+        v = uv[..., 1:2]
+        rows.append(u * P[2] - P[0])  # [N, 4]
+        rows.append(v * P[2] - P[1])
+    A = jnp.stack(rows, axis=-2)  # [N, 4, 4]
+    # Row-normalize for conditioning before forming normal equations.
+    A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    return vecs[..., :, 0]  # [N, 4]
+
+
+@f32_precision
+def triangulate_points(
+    cam: Camera,
+    pose1: jnp.ndarray,
+    pose2: jnp.ndarray,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> Triangulated:
+    """Triangulate N pixel correspondences between two posed views.
+
+    Equivalent of triangulation::triangulate_points
+    (src/Triangulation.cpp:37-98) with mask-style outputs.
+
+    Args:
+      cam: pinhole camera shared by both views.
+      pose1, pose2: [4, 4] world->camera transforms.
+      uv1, uv2: [N, 2] pixel coordinates.
+      mask: optional [N] bool of which correspondences are real (padding -> False).
+    """
+    P1 = projection_matrix(cam, pose1)
+    P2 = projection_matrix(cam, pose2)
+    Xh = _dlt_homogeneous(P1, P2, uv1, uv2)
+    w = Xh[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    X = Xh[..., :3] / w_safe[..., None]
+
+    Xc1 = se3.transform_points(pose1, X)
+    Xc2 = se3.transform_points(pose2, X)
+
+    # Filter 1: behind either camera (Triangulation.cpp:67-73).
+    in_front = (Xc1[..., 2] > 0.0) & (Xc2[..., 2] > 0.0)
+
+    # Filter 2: parallax (Triangulation.cpp:76-81).
+    c1 = se3.camera_center(pose1)
+    c2 = se3.camera_center(pose2)
+    d1 = c1 - X
+    d2 = c2 - X
+    d1n = d1 / (jnp.linalg.norm(d1, axis=-1, keepdims=True) + 1e-12)
+    d2n = d2 / (jnp.linalg.norm(d2, axis=-1, keepdims=True) + 1e-12)
+    cos_parallax = jnp.sum(d1n * d2n, axis=-1)
+    has_parallax = cos_parallax <= MAX_PARALLAX_COS
+
+    # Filter 3: reprojection error in both views (Triangulation.cpp:84-92).
+    r1 = jnp.linalg.norm(project_camera_points(cam, Xc1) - uv1, axis=-1)
+    r2 = jnp.linalg.norm(project_camera_points(cam, Xc2) - uv2, axis=-1)
+    reproj_ok = (r1 <= MAX_REPROJ_ERR_PX) & (r2 <= MAX_REPROJ_ERR_PX)
+
+    valid = in_front & has_parallax & reproj_ok & (jnp.abs(w) > 1e-12)
+    if mask is not None:
+        valid = valid & mask
+    return Triangulated(points=X, valid=valid)
