@@ -1,0 +1,417 @@
+"""Levenberg-Marquardt bundle adjustment with explicit Schur complement.
+
+TPU-native replacement for the reference's Ceres solve
+(src/Optimization.cpp:83-186, SPARSE_SCHUR, <=10 iterations). Design:
+
+- Residual IDENTICAL to the reference (src/Optimization.cpp:24-43):
+  normalized-plane error  p[:2]/p[2] - (obs - principal_point)/focal,
+  with p = exp(rvec) X + t, focal = fx ONLY (the reference passes K(0,0)
+  and ignores fy in the residual — src/Optimization.cpp:129-134), and
+  Huber loss with delta = sqrt(5.991) (src/Optimization.cpp:136) applied
+  via IRLS weights.
+- Same parametrization Ceres autodiffs: global angle-axis rvec + t per
+  camera, xyz per point; Jacobians by forward-mode autodiff (jacfwd) on the
+  packed 9-vector, vmapped over the observation table — exact, not a local
+  perturbation approximation.
+- Freeze semantics reproduce FrameConfig / optimize_points
+  (src/Optimization.cpp:103-146): frozen cameras/points contribute residuals
+  as anchors but receive no update; points enter the problem only if
+  observed by a free camera; residuals are included only for in-problem
+  cameras observing in-problem points.
+- Structure exploitation: per-point 3x3 Hessian blocks are eliminated in
+  closed form (batched adjugate inverse), camera-camera coupling is
+  scatter-added into a dense [F*6, F*6] reduced system (cameras are few),
+  solved replicated. The reduced-system builder (`build_reduced_system`) is
+  a pure function of a landmark shard so the distributed path can psum its
+  outputs across shards (parallel/dist_ba.py).
+
+Observation storage is point-major [P, O] (O = max observations per point),
+mirroring MapPoint::m_observations (src/MapPoint.h:28) as a padded SoA table.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+from .camera import Camera
+from .precision import f32_precision
+
+HUBER_DELTA = float(jnp.sqrt(5.991))  # Optimization.cpp:136
+MAX_ITERS = 10  # Optimization.cpp:153
+
+# NOTE on robust scale: the reference applies HuberLoss(sqrt(5.991)) to a
+# residual expressed in NORMALIZED-plane units (pixels / fx), so the loss
+# only engages beyond ~2.45 rad — i.e. effectively never. We reproduce that
+# default for parity, but every solver below takes a `huber_delta` so the
+# pipeline can pass a pixel-meaningful scale (e.g. sqrt(5.991)/fx).
+
+
+# ---------------------------------------------------------------------------
+# Residual + robust weights
+# ---------------------------------------------------------------------------
+
+
+def _residual(rvec, t, X, uv, fx, cx, cy):
+    """2-vector normalized-plane reprojection residual (Optimization.cpp:24-43)."""
+    p = se3.exp_so3(rvec) @ X + t
+    z = p[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    nx = (uv[0] - cx) / fx
+    ny = (uv[1] - cy) / fx  # fx only, like the reference caller
+    return jnp.stack([p[0] / z_safe - nx, p[1] / z_safe - ny])
+
+
+def _residual_packed(params9, uv, fx, cx, cy):
+    return _residual(params9[:3], params9[3:6], params9[6:9], uv, fx, cx, cy)
+
+
+def huber_weight(sq_norm: jnp.ndarray, delta: float = HUBER_DELTA) -> jnp.ndarray:
+    """IRLS weight rho'(s) for Ceres HuberLoss: 1 inside, delta/|r| outside."""
+    norm = jnp.sqrt(sq_norm + 1e-18)
+    return jnp.where(sq_norm <= delta * delta, 1.0, delta / norm)
+
+
+def huber_cost(sq_norm: jnp.ndarray, delta: float = HUBER_DELTA) -> jnp.ndarray:
+    """Ceres HuberLoss rho(s): s inside, 2 delta sqrt(s) - delta^2 outside."""
+    b = delta * delta
+    return jnp.where(
+        sq_norm <= b, sq_norm, 2.0 * delta * jnp.sqrt(sq_norm + 1e-18) - b
+    )
+
+
+def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form (adjugate) 3x3 inverse; [..., 3, 3]."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+# ---------------------------------------------------------------------------
+# Motion-only BA: one free pose, all points constant
+# ---------------------------------------------------------------------------
+
+
+class MotionBAResult(NamedTuple):
+    rvec: jnp.ndarray  # [3]
+    t: jnp.ndarray  # [3]
+    cost: jnp.ndarray  # final robust cost (scalar)
+    num_residuals: jnp.ndarray  # i32
+
+
+@f32_precision
+def motion_ba(
+    cam: Camera,
+    rvec: jnp.ndarray,
+    t: jnp.ndarray,
+    kp_uv: jnp.ndarray,
+    point_xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_iters: int = MAX_ITERS,
+    huber_delta: float = HUBER_DELTA,
+) -> MotionBAResult:
+    """Optimize a single pose against fixed 3D points.
+
+    Equivalent of the reference optimize_pose path (src/Slam.cpp:165-175 with
+    OptimizationConfig{optimize_points=false, frames={current}}): the only
+    residuals are the current frame's map matches, point positions constant.
+
+    Args:
+      kp_uv: [K, 2] matched keypoint pixels.
+      point_xyz: [K, 3] matched map point positions (already gathered).
+      valid: [K] bool — row participates.
+    """
+    fx, cx, cy = cam.fx, cam.cx, cam.cy
+    res_fn = jax.vmap(lambda p9, uv: _residual_packed(p9, uv, fx, cx, cy), (0, 0))
+    jac_fn = jax.vmap(
+        jax.jacfwd(lambda p9, uv: _residual_packed(p9, uv, fx, cx, cy)), (0, 0)
+    )
+    n_res = jnp.sum(valid)
+
+    def pack(rv, tt):
+        K = kp_uv.shape[0]
+        p6 = jnp.concatenate([rv, tt])
+        return jnp.concatenate(
+            [jnp.broadcast_to(p6, (K, 6)), point_xyz], axis=-1
+        )  # [K, 9]
+
+    def robust_cost(rv, tt):
+        r = res_fn(pack(rv, tt), kp_uv)  # [K, 2]
+        s = jnp.sum(r * r, axis=-1)
+        return jnp.sum(jnp.where(valid, huber_cost(s, huber_delta), 0.0))
+
+    def step(state, _):
+        rv, tt, lam, cost = state
+        p9 = pack(rv, tt)
+        r = res_fn(p9, kp_uv)  # [K, 2]
+        s = jnp.sum(r * r, axis=-1)
+        w = jnp.where(valid, huber_weight(s, huber_delta), 0.0)  # [K]
+        J = jac_fn(p9, kp_uv)[..., :6]  # [K, 2, 6] — camera block only
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("kri,krj->ij", Jw, J)  # [6, 6]
+        g = jnp.einsum("kri,kr->i", Jw, r)  # [6]
+        D = jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
+        delta = -jnp.linalg.solve(H + lam * D, g)
+        rv_new = rv + delta[:3]
+        tt_new = tt + delta[3:]
+        new_cost = robust_cost(rv_new, tt_new)
+        accept = new_cost < cost
+        rv = jnp.where(accept, rv_new, rv)
+        tt = jnp.where(accept, tt_new, tt)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 2.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return (rv, tt, lam, cost), None
+
+    cost0 = robust_cost(rvec, t)
+    (rv, tt, _, cost), _ = jax.lax.scan(
+        step, (rvec, t, jnp.float32(1e-4), cost0), None, length=max_iters
+    )
+    return MotionBAResult(rvec=rv, t=tt, cost=cost, num_residuals=n_res)
+
+
+# ---------------------------------------------------------------------------
+# Full BA: Schur-complement LM over keyframes + points
+# ---------------------------------------------------------------------------
+
+
+class BAProblem(NamedTuple):
+    """Static-shape bundle adjustment problem.
+
+    F cameras, P points, O max observations per point.
+    """
+
+    cam_rvec: jnp.ndarray  # [F, 3]
+    cam_t: jnp.ndarray  # [F, 3]
+    points: jnp.ndarray  # [P, 3]
+    obs_cam: jnp.ndarray  # [P, O] i32 camera index per observation
+    obs_uv: jnp.ndarray  # [P, O, 2] observed pixels
+    obs_valid: jnp.ndarray  # [P, O] bool
+    cam_free: jnp.ndarray  # [F] bool — pose receives updates
+    cam_in_problem: jnp.ndarray  # [F] bool — camera's residuals included
+    point_free: jnp.ndarray  # [P] bool — position receives updates
+    point_in_problem: jnp.ndarray  # [P] bool — point's residuals included
+
+
+class BAResult(NamedTuple):
+    cam_rvec: jnp.ndarray
+    cam_t: jnp.ndarray
+    points: jnp.ndarray
+    cost: jnp.ndarray
+    num_residuals: jnp.ndarray
+
+
+class ReducedSystem(NamedTuple):
+    """Output of landmark elimination — psum-able across landmark shards."""
+
+    S: jnp.ndarray  # [F, F, 6, 6] reduced camera Hessian
+    g_red: jnp.ndarray  # [F, 6] reduced gradient
+    # Per-point data needed for back-substitution (stays shard-local):
+    Hpp_inv: jnp.ndarray  # [P, 3, 3] damped inverse (zero for frozen points)
+    g_p: jnp.ndarray  # [P, 3]
+    W: jnp.ndarray  # [P, O, 6, 3] camera-point coupling blocks
+
+
+def _obs_terms(cam: Camera, prob: BAProblem, huber_delta: float = HUBER_DELTA):
+    """Per-observation residuals, weights, Jacobians. Shapes [P, O, ...]."""
+    fx, cx, cy = cam.fx, cam.cx, cam.cy
+    P, O = prob.obs_cam.shape
+    safe_cam = jnp.clip(prob.obs_cam, 0, prob.cam_rvec.shape[0] - 1)
+    rv = prob.cam_rvec[safe_cam]  # [P, O, 3]
+    tt = prob.cam_t[safe_cam]
+    X = jnp.broadcast_to(prob.points[:, None, :], (P, O, 3))
+    p9 = jnp.concatenate([rv, tt, X], axis=-1).reshape(P * O, 9)
+    uv = prob.obs_uv.reshape(P * O, 2)
+
+    res_fn = jax.vmap(lambda p, u: _residual_packed(p, u, fx, cx, cy))
+    jac_fn = jax.vmap(jax.jacfwd(lambda p, u: _residual_packed(p, u, fx, cx, cy)))
+    r = res_fn(p9, uv).reshape(P, O, 2)
+    J = jac_fn(p9, uv).reshape(P, O, 2, 9)
+
+    include = (
+        prob.obs_valid
+        & prob.cam_in_problem[safe_cam]
+        & prob.point_in_problem[:, None]
+    )
+    s = jnp.sum(r * r, axis=-1)
+    w = jnp.where(include, huber_weight(s, huber_delta), 0.0)
+    return r, s, w, J[..., :6], J[..., 6:], include, safe_cam
+
+
+@f32_precision
+def build_reduced_system(
+    cam: Camera, prob: BAProblem, lam: jnp.ndarray,
+    huber_delta: float = HUBER_DELTA,
+) -> tuple[ReducedSystem, jnp.ndarray]:
+    """Eliminate landmarks: build the reduced camera system for one shard.
+
+    Returns (ReducedSystem, robust_cost_of_current_params). S and g_red are
+    *contributions* — sum (psum) them over landmark shards before solving.
+    The diagonal damping follows Ceres' scaled-diagonal LM: H + lam*diag(H).
+    """
+    F = prob.cam_rvec.shape[0]
+    P, O = prob.obs_cam.shape
+    r, s, w, Jc, Jp, include, safe_cam = _obs_terms(cam, prob, huber_delta)
+    cost = jnp.sum(jnp.where(include, huber_cost(s, huber_delta), 0.0))
+
+    Jc_w = Jc * w[..., None, None]  # [P, O, 2, 6]
+    # Camera blocks, scattered by camera id.
+    Hcc_o = jnp.einsum("pori,porj->poij", Jc_w, Jc)  # [P, O, 6, 6]
+    gc_o = jnp.einsum("pori,por->poi", Jc_w, r)  # [P, O, 6]
+    flat_cam = safe_cam.reshape(-1)
+    Hcc = jnp.zeros((F, 6, 6)).at[flat_cam].add(Hcc_o.reshape(-1, 6, 6))
+    g_c = jnp.zeros((F, 6)).at[flat_cam].add(gc_o.reshape(-1, 6))
+
+    # Point blocks.
+    Jp_w = Jp * w[..., None, None]  # [P, O, 2, 3]
+    Hpp = jnp.einsum("pori,porj->pij", Jp_w, Jp)  # [P, 3, 3]
+    g_p = jnp.einsum("pori,por->pi", Jp_w, r)  # [P, 3]
+    W = jnp.einsum("pori,porj->poij", Jc_w, Jp)  # [P, O, 6, 3]
+
+    # Damp: Ceres-style scaled diagonal (+ floor to keep invertible).
+    # diag-matrix construction: d[..., k] placed on the diagonal via d * I.
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+    dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + lam * dpp[..., :, None] * eye3 + 1e-9 * eye3
+    dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+    Hcc_d = Hcc + lam * dcc[..., :, None] * eye6 + 1e-9 * eye6
+
+    # Landmark elimination (only free points are eliminated/updated; frozen
+    # points keep Hpp_inv = 0 so they contribute pure anchors via Hcc).
+    Hpp_inv = _inv3x3(Hpp_d) * prob.point_free[:, None, None]
+
+    # S = blockdiag(Hcc_d) - sum_p sum_{a,b} W_a Hpp_inv W_b^T
+    S = jnp.zeros((F, F, 6, 6))
+    S = S.at[jnp.arange(F), jnp.arange(F)].add(Hcc_d)
+    WHinv = jnp.einsum("poij,pjk->poik", W, Hpp_inv)  # [P, O, 6, 3]
+    # Pairwise camera-camera coupling; O is small so unroll the O*O loop.
+    for a in range(O):
+        Ca = WHinv[:, a]  # [P, 6, 3]
+        cam_a = safe_cam[:, a]
+        for b in range(O):
+            contrib = jnp.einsum("pik,pjk->pij", Ca, W[:, b])  # [P, 6, 6]
+            S = S.at[cam_a, safe_cam[:, b]].add(-contrib)
+
+    # Reduced gradient: g_c - sum_p W Hpp_inv g_p (scattered by camera).
+    Wg = jnp.einsum("poik,pk->poi", WHinv, g_p)  # [P, O, 6]
+    g_red = g_c.at[flat_cam].add(-Wg.reshape(-1, 6))
+
+    return (
+        ReducedSystem(S=S, g_red=g_red, Hpp_inv=Hpp_inv, g_p=g_p, W=W),
+        cost,
+    )
+
+
+@f32_precision
+def solve_camera_system(
+    S: jnp.ndarray, g_red: jnp.ndarray, cam_free: jnp.ndarray
+) -> jnp.ndarray:
+    """Solve the dense reduced camera system with freeze masking.
+
+    Frozen cameras get zeroed rows/cols and an identity diagonal, so their
+    delta is exactly zero (Ceres SetParameterBlockConstant semantics,
+    src/Optimization.cpp:140-146).
+    """
+    F = S.shape[0]
+    m = cam_free.astype(S.dtype)
+    S = S * (m[:, None, None, None] * m[None, :, None, None])
+    # Identity on frozen diagonal blocks to keep the system nonsingular.
+    frozen_eye = (1.0 - m)[:, None, None] * jnp.eye(6)
+    S = S.at[jnp.arange(F), jnp.arange(F)].add(frozen_eye)
+    g = g_red * m[:, None]
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
+    delta = -jnp.linalg.solve(S_dense, g.reshape(F * 6))
+    return delta.reshape(F, 6)
+
+
+@f32_precision
+def back_substitute_points(
+    rs: ReducedSystem, delta_c: jnp.ndarray, safe_cam: jnp.ndarray
+) -> jnp.ndarray:
+    """delta_p = -Hpp_inv (g_p + sum_o W_o^T delta_c[cam_o]); [P, 3]."""
+    dc = delta_c[safe_cam]  # [P, O, 6]
+    Wt_dc = jnp.einsum("poij,poi->pj", rs.W, dc)  # [P, 3]
+    return -jnp.einsum("pij,pj->pi", rs.Hpp_inv, rs.g_p + Wt_dc)
+
+
+def _problem_cost(
+    cam: Camera, prob: BAProblem, huber_delta: float = HUBER_DELTA
+) -> jnp.ndarray:
+    r, s, w, _, _, include, _ = _obs_terms(cam, prob, huber_delta)
+    return jnp.sum(jnp.where(include, huber_cost(s, huber_delta), 0.0))
+
+
+@f32_precision
+def full_ba(
+    cam: Camera,
+    prob: BAProblem,
+    max_iters: int = MAX_ITERS,
+    init_lambda: float = 1e-4,
+    huber_delta: float = HUBER_DELTA,
+) -> BAResult:
+    """Schur-complement LM over keyframes and points (single shard).
+
+    Equivalent of optimization::optimize (src/Optimization.cpp:83-186):
+    builds the robustified normal equations, eliminates landmarks, solves the
+    reduced camera system, back-substitutes point updates, and runs an
+    accept/reject LM loop for max_iters (reference budget: 10).
+    """
+    n_res = jnp.sum(
+        prob.obs_valid
+        & prob.cam_in_problem[jnp.clip(prob.obs_cam, 0, prob.cam_rvec.shape[0] - 1)]
+        & prob.point_in_problem[:, None]
+    )
+
+    def step(state, _):
+        cam_rvec, cam_t, points, lam, cost = state
+        cur = prob._replace(cam_rvec=cam_rvec, cam_t=cam_t, points=points)
+        rs, _ = build_reduced_system(cam, cur, lam, huber_delta)
+        delta_c = solve_camera_system(rs.S, rs.g_red, prob.cam_free)
+        safe_cam = jnp.clip(prob.obs_cam, 0, prob.cam_rvec.shape[0] - 1)
+        delta_p = back_substitute_points(rs, delta_c, safe_cam)
+
+        cam_rvec_new = cam_rvec + delta_c[:, :3] * prob.cam_free[:, None]
+        cam_t_new = cam_t + delta_c[:, 3:] * prob.cam_free[:, None]
+        points_new = points + delta_p * prob.point_free[:, None]
+
+        new_cost = _problem_cost(
+            cam,
+            prob._replace(
+                cam_rvec=cam_rvec_new, cam_t=cam_t_new, points=points_new
+            ),
+            huber_delta,
+        )
+        accept = new_cost < cost
+        cam_rvec = jnp.where(accept, cam_rvec_new, cam_rvec)
+        cam_t = jnp.where(accept, cam_t_new, cam_t)
+        points = jnp.where(accept, points_new, points)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 2.5)
+        cost = jnp.where(accept, new_cost, cost)
+        return (cam_rvec, cam_t, points, lam, cost), None
+
+    cost0 = _problem_cost(cam, prob, huber_delta)
+    init = (prob.cam_rvec, prob.cam_t, prob.points, jnp.float32(init_lambda), cost0)
+    (cam_rvec, cam_t, points, _, cost), _ = jax.lax.scan(
+        step, init, None, length=max_iters
+    )
+    return BAResult(
+        cam_rvec=cam_rvec, cam_t=cam_t, points=points, cost=cost, num_residuals=n_res
+    )
