@@ -1,0 +1,98 @@
+import jax.numpy as jnp
+import numpy as np
+
+from racing_slam_tpu.ops.matching import match_map_to_frame
+from tests.geometry_fixtures import default_camera, project_np, synthetic_scene
+
+
+def _unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _setup(rng, P=60, K=80, D=32, O=3):
+    """Map points whose first K slots project onto the frame's keypoints; each
+    point's observation descriptors are noisy copies of the keypoint's."""
+    cam = default_camera()
+    pose = np.eye(4, dtype=np.float32)
+    X = synthetic_scene(rng, P)
+    uv = project_np(cam, pose, X)
+
+    kp_desc = _unit(rng.standard_normal((K, D)).astype(np.float32))
+    # keypoints 0..P-1 sit at the projections (sub-pixel jitter), rest random
+    kp_uv = np.concatenate(
+        [uv + rng.uniform(-2, 2, (P, 2)).astype(np.float32),
+         rng.uniform(0, 600, (K - P, 2)).astype(np.float32)]
+    )
+    obs_desc = np.zeros((P, O, D), np.float32)
+    for o in range(O):
+        obs_desc[:, o] = _unit(kp_desc[:P] + 0.1 * rng.standard_normal((P, D)).astype(np.float32))
+    obs_valid = np.ones((P, O), bool)
+    return cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid
+
+
+def _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid,
+           point_mask=None, kp_matched=None, pt_matched=None, max_distance=0.8):
+    P, K = X.shape[0], kp_uv.shape[0]
+    return match_map_to_frame(
+        cam, jnp.asarray(pose), jnp.asarray(X),
+        jnp.asarray(np.ones(P, bool) if point_mask is None else point_mask),
+        jnp.asarray(obs_desc), jnp.asarray(obs_valid),
+        jnp.asarray(kp_uv), jnp.asarray(kp_desc), jnp.ones(K, bool),
+        jnp.asarray(np.zeros(K, bool) if kp_matched is None else kp_matched),
+        jnp.asarray(np.zeros(P, bool) if pt_matched is None else pt_matched),
+        max_distance=max_distance, chunk=32,
+    )
+
+
+def test_matches_correct_keypoints(rng):
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(rng)
+    m = _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid)
+    valid = np.asarray(m.valid)
+    pts = np.asarray(m.point_idx)
+    # Keypoint k < P should be matched to point k (its descriptor source).
+    correct = sum(1 for k in range(60) if valid[k] and pts[k] == k)
+    assert correct > 50, f"only {correct} correct matches"
+    # Distractor keypoints (no corresponding point nearby) unmatched.
+    assert valid[60:].sum() <= 2
+
+
+def test_radius_gate(rng):
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(rng)
+    # Move keypoints far from all projections: nothing can match.
+    kp_uv_far = kp_uv + 50.0
+    m = _match(cam, pose, X, kp_uv_far, kp_desc, obs_desc, obs_valid)
+    assert np.asarray(m.valid).sum() == 0
+
+
+def test_point_filter_mask(rng):
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(rng)
+    mask = np.zeros(60, bool)
+    mask[:20] = True  # only first 20 points eligible (observed-by-last-KF analogue)
+    m = _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid, point_mask=mask)
+    pts = np.asarray(m.point_idx)[np.asarray(m.valid)]
+    assert (pts < 20).all()
+
+
+def test_dedup_already_matched(rng):
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(rng)
+    kp_matched = np.zeros(80, bool)
+    kp_matched[:10] = True
+    pt_matched = np.zeros(60, bool)
+    pt_matched[20:30] = True
+    m = _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid,
+               kp_matched=kp_matched, pt_matched=pt_matched)
+    valid = np.asarray(m.valid)
+    pts = np.asarray(m.point_idx)
+    assert not valid[:10].any()  # matched keypoints skipped
+    assert not np.isin(pts[valid], np.arange(20, 30)).any()  # matched points skipped
+
+
+def test_at_most_one_point_per_keypoint(rng):
+    # Two identical points at the same position competing for one keypoint.
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(rng, P=10, K=12)
+    X[1] = X[0]
+    obs_desc[1] = obs_desc[0]
+    m = _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid)
+    valid = np.asarray(m.valid)
+    pts = np.asarray(m.point_idx)[valid]
+    assert len(np.unique(pts)) == len(pts)  # no point matched twice
