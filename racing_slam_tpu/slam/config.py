@@ -1,0 +1,86 @@
+"""Configuration: sequence YAML (camera + assets) and engine flags.
+
+Mirrors the reference's two config layers in one place:
+- per-sequence YAML (video path, optional mask, fx/fy, optional cx/cy
+  defaulting to the image center) — src/main.cpp:11-40, assets/*.yaml;
+- SlamConfig feature flags, which the reference hard-codes in main
+  (src/main.cpp:53-59) and we expose as runtime switches, plus the
+  capacity/threshold knobs a static-shape TPU engine needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Engine flags + static capacities. Hashable: safe as a jit static arg."""
+
+    # The reference's five feature flags with its hard-coded defaults
+    # (src/main.cpp:53-59; field meanings in src/Slam.h:11-17).
+    triangulate_points: bool = False
+    bundle_adjust: bool = True
+    optimize_pose: bool = True
+    cull_points: bool = False
+    essential_matrix_estimation: bool = False
+
+    # Static capacities (shape-defining; changing them recompiles).
+    max_keyframes: int = 32  # F
+    map_capacity: int = 4096  # P
+    max_observations: int = 8  # O per point
+    # Frontend: K = n_per_cell * ceil(H/cell) * ceil(W/cell) keypoints.
+    cell: int = 16
+    n_per_cell: int = 2
+    max_match_distance: float = 0.8
+
+    # Thresholds (reference values cited per field).
+    keyframe_match_ratio: float = 0.9  # src/Slam.cpp:114
+    cull_reproj_px: float = 3.0  # src/Slam.cpp:234
+    min_init_points: int = 50  # src/Init.h:19
+    max_ref_chances: int = 5  # src/Init.h:18
+    ba_iters: int = 10  # src/Optimization.cpp:153
+    motion_ba_iters: int = 10
+    # Huber scale: "reference" keeps Ceres' sqrt(5.991) on the normalized
+    # residual (effectively quadratic); "pixel" rescales it by 1/fx so the
+    # robust loss engages at the intended ~2.45 px.
+    huber_mode: str = "pixel"
+
+    ransac_hypotheses: int = 512
+    ransac_threshold_px: float = 0.4  # src/PoseEstimation.cpp:78
+
+
+@dataclasses.dataclass
+class SequenceConfig:
+    """Per-sequence YAML (src/main.cpp:11-40)."""
+
+    video: str
+    fx: float
+    fy: float
+    mask: str | None = None
+    cx: float | None = None  # defaults to image center (main.cpp:21-26)
+    cy: float | None = None
+
+
+def load_sequence_yaml(path: str | Path) -> SequenceConfig:
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    base = Path(path).parent
+
+    def _resolve(p):
+        if p is None:
+            return None
+        p = Path(p)
+        return str(p if p.is_absolute() else base / p)
+
+    return SequenceConfig(
+        video=_resolve(d["video"]),
+        mask=_resolve(d.get("mask")),
+        fx=float(d["fx"]),
+        fy=float(d["fy"]),
+        cx=float(d["cx"]) if "cx" in d else None,
+        cy=float(d["cy"]) if "cy" in d else None,
+    )

@@ -1,0 +1,596 @@
+"""The SLAM pipeline: two-view bootstrap + per-frame tracking, TPU-style.
+
+Re-design of the reference orchestrator (src/Slam.cpp) around one principle:
+each video frame is processed by a SINGLE jit-compiled device step —
+extraction, initial pose, both matching passes, both motion-BA solves, the
+keyframe decision, and (under lax.cond, so it only executes when taken) the
+entire keyframe path including triangulation, global BA and culling. The host
+loop only decodes frames and reads back a small StepInfo for logging; there is
+no per-stage host<->device ping-pong.
+
+Stage-by-stage parity with the reference step (src/Slam.cpp:89-122):
+  initial pose      -> constant-position or essential-matrix RANSAC
+                       (src/Slam.cpp:124-136)
+  match last KF     -> map->frame matcher filtered to points observed by the
+                       last keyframe (src/Slam.cpp:138-150)
+  optimize pose     -> motion-only BA, points frozen (src/Slam.cpp:165-175)
+  match map         -> same matcher, no filter, de-dup vs existing matches
+                       (src/Slam.cpp:152-163)
+  optimize pose     -> again
+  keyframe decision -> matches < 0.9 x last keyframe's (src/Slam.cpp:113-118)
+  keyframe path     -> add associations, triangulate unmatched (flag), global
+                       BA with all previous KFs frozen + points free (flag),
+                       cull mean-reproj > 3 px (flag) (src/Slam.cpp:177-243)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import se3
+from ..ops.ba import HUBER_DELTA, BAProblem, full_ba, motion_ba
+from ..ops.camera import Camera
+from ..ops.image import bilinear_sample
+from ..ops.matching import match_frames, match_map_to_frame, unmatched_mask
+from ..ops.ransac import estimate_relative_pose
+from ..ops.triangulation import triangulate_points
+from .config import SlamConfig
+from .frontend import ClassicalFrontend
+from .state import (
+    Features,
+    SlamState,
+    add_associations,
+    create_points,
+    keyframe_reprojection_error,
+    point_reprojection_errors,
+    remove_points,
+    write_keyframe,
+)
+
+
+class StepInfo(NamedTuple):
+    """Per-frame diagnostics (small; cheap to pull to host for logging)."""
+
+    rvec: jnp.ndarray
+    t: jnp.ndarray
+    n_matches_kf: jnp.ndarray  # after match-with-last-keyframe
+    n_matches_total: jnp.ndarray  # after match-with-map
+    n_last_kf_matches: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    n_points: jnp.ndarray
+    n_keyframes: jnp.ndarray
+    reproj_error_px: jnp.ndarray
+
+
+def _huber(cfg: SlamConfig, cam: Camera) -> float:
+    return HUBER_DELTA / cam.fx if cfg.huber_mode == "pixel" else HUBER_DELTA
+
+
+def _point_matched_mask(P: int, matches: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """[P] bool — map slots referenced by the frame's match array."""
+    tgt = jnp.where(valid & (matches >= 0), matches, P)
+    return jnp.zeros((P,), bool).at[tgt].set(True, mode="drop")
+
+
+def _commit_keyframe(
+    state: SlamState,
+    img: jnp.ndarray,
+    feat: Features,
+    rvec: jnp.ndarray,
+    t: jnp.ndarray,
+    matches: jnp.ndarray,
+    *,
+    cam: Camera,
+    cfg: SlamConfig,
+) -> SlamState:
+    """The keyframe path (src/Slam.cpp:177-219 + cull 221-243), jit-safe."""
+    F = cfg.max_keyframes
+    kfs, m = state.kfs, state.map
+    slot = jnp.minimum(state.num_kf, F - 1)  # saturate at capacity
+    last_slot = jnp.clip(state.num_kf - 1, 0, F - 1)
+
+    # If the slot is being reused (capacity saturation), scrub observations
+    # that still reference it.
+    m = m._replace(obs_valid=m.obs_valid & (m.obs_kf != slot))
+
+    match_ok = (matches >= 0) & feat.valid
+    kfs = write_keyframe(
+        kfs, slot, rvec, t, feat, jnp.where(match_ok, matches, -1), state.frame_count
+    )
+    # Map associations for tracked matches (src/Slam.cpp:180-183).
+    m = add_associations(m, slot, matches, match_ok)
+
+    # Triangulate unmatched features vs the last keyframe (src/Slam.cpp:186-199).
+    if cfg.triangulate_points:
+        fm = match_frames(
+            kfs.desc[last_slot],
+            kfs.kp_valid[last_slot],
+            feat.desc,
+            feat.valid,
+            cfg.max_match_distance,
+        )
+        kp1_matched = kfs.matches[last_slot] >= 0
+        kp2_matched = kfs.matches[slot] >= 0
+        un = unmatched_mask(fm, kp1_matched, kp2_matched)
+        uv1 = kfs.kp_xy[last_slot][fm.train_idx]
+        pose1 = se3.pose_matrix(kfs.rvec[last_slot], kfs.t[last_slot])
+        pose2 = se3.pose_matrix(rvec, t)
+        tri = triangulate_points(cam, pose1, pose2, uv1, feat.xy, mask=un)
+        colors = bilinear_sample(img, feat.xy)
+        K = feat.xy.shape[0]
+        m, kfs, _, _ = create_points(
+            m,
+            tri.points,
+            tri.valid,
+            last_slot,
+            slot,
+            fm.train_idx,
+            jnp.arange(K, dtype=jnp.int32),
+            colors,
+            kfs,
+        )
+
+    # Global BA: all previous keyframes frozen, the new one free, points free
+    # (src/Slam.cpp:202-213 — only points observed by the free frame enter).
+    if cfg.bundle_adjust:
+        obs_uv = kfs.kp_xy[m.obs_kf, m.obs_kp]
+        point_in = m.observed_by(slot) & m.valid
+        prob = BAProblem(
+            cam_rvec=kfs.rvec,
+            cam_t=kfs.t,
+            points=m.pos,
+            obs_cam=m.obs_kf,
+            obs_uv=obs_uv,
+            obs_valid=m.obs_valid & m.valid[:, None],
+            cam_free=jnp.arange(F) == slot,
+            cam_in_problem=kfs.valid,
+            point_free=point_in,
+            point_in_problem=point_in,
+        )
+        res = full_ba(
+            cam, prob, max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
+        )
+        kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
+        m = m._replace(pos=res.points)
+        rvec = res.cam_rvec[slot]
+        t = res.cam_t[slot]
+
+    # Cull points with mean reprojection error > 3 px (src/Slam.cpp:221-243).
+    if cfg.cull_points:
+        err, has_obs = point_reprojection_errors(cam, m, kfs)
+        remove = m.valid & has_obs & (err > cfg.cull_reproj_px)
+        m, kfs = remove_points(m, kfs, remove)
+
+    return state._replace(
+        kfs=kfs,
+        map=m,
+        num_kf=jnp.minimum(state.num_kf + 1, F),
+        last_rvec=rvec,
+        last_t=t,
+    )
+
+
+def slam_step(
+    state: SlamState,
+    img: jnp.ndarray,
+    key: jax.Array,
+    mask: jnp.ndarray | None,
+    *,
+    cam: Camera,
+    cfg: SlamConfig,
+    frontend: ClassicalFrontend,
+) -> tuple[SlamState, StepInfo]:
+    """One fully-fused tracking step (device-side equivalent of
+    Slam::step, src/Slam.cpp:89-122)."""
+    P = cfg.map_capacity
+    feat = frontend.extract(img, mask)
+    last_slot = jnp.clip(state.num_kf - 1, 0, cfg.max_keyframes - 1)
+
+    # ---- Initial pose estimate (src/Slam.cpp:124-136) ----------------------
+    if cfg.essential_matrix_estimation:
+        fm = match_frames(
+            state.last_feat.desc,
+            state.last_feat.valid,
+            feat.desc,
+            feat.valid,
+            frontend.max_distance,
+        )
+        uv1 = state.last_feat.xy[fm.train_idx]
+        est = estimate_relative_pose(
+            cam,
+            uv1,
+            feat.xy,
+            fm.valid,
+            key,
+            num_hypotheses=cfg.ransac_hypotheses,
+            threshold_px=cfg.ransac_threshold_px,
+        )
+        pose = se3.compose(
+            est.pose, se3.pose_matrix(state.last_rvec, state.last_t)
+        )
+        rvec, t = se3.rt_from_matrix(pose)
+    else:
+        # Constant-position model (src/Slam.cpp:134).
+        rvec, t = state.last_rvec, state.last_t
+
+    huber = _huber(cfg, cam)
+    obs_desc, obs_dvalid = state.map.observation_descriptors(state.kfs)
+    no_kp_matched = jnp.zeros(feat.valid.shape, bool)
+    no_pt_matched = jnp.zeros((P,), bool)
+
+    # ---- Match with last keyframe's points (src/Slam.cpp:138-150) ----------
+    filt = state.map.observed_by(last_slot) & state.map.valid
+    mm1 = match_map_to_frame(
+        cam,
+        se3.pose_matrix(rvec, t),
+        state.map.pos,
+        filt,
+        obs_desc,
+        obs_dvalid,
+        feat.xy,
+        feat.desc,
+        feat.valid,
+        no_kp_matched,
+        no_pt_matched,
+        max_distance=frontend.max_distance,
+    )
+    matches = jnp.where(mm1.valid, mm1.point_idx, -1)
+    n_kf_matches = jnp.sum(matches >= 0)
+
+    # ---- Optimize pose (src/Slam.cpp:165-175) ------------------------------
+    if cfg.optimize_pose:
+        res = motion_ba(
+            cam,
+            rvec,
+            t,
+            feat.xy,
+            state.map.pos[jnp.clip(matches, 0)],
+            matches >= 0,
+            max_iters=cfg.motion_ba_iters,
+            huber_delta=huber,
+        )
+        rvec, t = res.rvec, res.t
+
+    # ---- Match with the whole map (src/Slam.cpp:152-163) -------------------
+    mm2 = match_map_to_frame(
+        cam,
+        se3.pose_matrix(rvec, t),
+        state.map.pos,
+        state.map.valid,
+        obs_desc,
+        obs_dvalid,
+        feat.xy,
+        feat.desc,
+        feat.valid,
+        matches >= 0,
+        _point_matched_mask(P, matches, feat.valid),
+        max_distance=frontend.max_distance,
+    )
+    matches = jnp.where(mm2.valid & (matches < 0), mm2.point_idx, matches)
+
+    if cfg.optimize_pose:
+        res = motion_ba(
+            cam,
+            rvec,
+            t,
+            feat.xy,
+            state.map.pos[jnp.clip(matches, 0)],
+            matches >= 0,
+            max_iters=cfg.motion_ba_iters,
+            huber_delta=huber,
+        )
+        rvec, t = res.rvec, res.t
+
+    # ---- Keyframe decision (src/Slam.cpp:113-118) --------------------------
+    n_total = jnp.sum((matches >= 0) & feat.valid)
+    n_last = state.kfs.num_matches(last_slot)
+    is_kf = n_total < cfg.keyframe_match_ratio * n_last
+
+    state = state._replace(
+        last_rvec=rvec,
+        last_t=t,
+        last_feat=feat,
+        last_matches=matches,
+    )
+    state = jax.lax.cond(
+        is_kf,
+        lambda s: _commit_keyframe(
+            s, img, feat, rvec, t, matches, cam=cam, cfg=cfg
+        ),
+        lambda s: s,
+        state,
+    )
+    state = state._replace(frame_count=state.frame_count + 1)
+
+    info = StepInfo(
+        rvec=state.last_rvec,
+        t=state.last_t,
+        n_matches_kf=n_kf_matches,
+        n_matches_total=n_total,
+        n_last_kf_matches=n_last,
+        is_keyframe=is_kf,
+        n_points=state.map.num_points(),
+        n_keyframes=state.num_kf,
+        reproj_error_px=keyframe_reprojection_error(cam, state.map, state.kfs),
+    )
+    return state, info
+
+
+# ---------------------------------------------------------------------------
+# Two-view bootstrap (src/Slam.cpp:32-87, src/Init.cpp:8-63)
+# ---------------------------------------------------------------------------
+
+
+class InitAttempt(NamedTuple):
+    pose: jnp.ndarray  # [4, 4] relative pose ref->query
+    n_triangulated: jnp.ndarray
+    match_train: jnp.ndarray  # [K] i32
+    match_valid: jnp.ndarray  # [K] bool
+
+
+def try_initialize(
+    ref_feat: Features,
+    query_feat: Features,
+    key: jax.Array,
+    *,
+    cam: Camera,
+    cfg: SlamConfig,
+    max_distance: float,
+) -> InitAttempt:
+    """One pairing attempt of the initializer (src/Init.cpp:38-57): match,
+    estimate pose, count clean triangulations."""
+    fm = match_frames(
+        ref_feat.desc, ref_feat.valid, query_feat.desc, query_feat.valid, max_distance
+    )
+    uv1 = ref_feat.xy[fm.train_idx]
+    est = estimate_relative_pose(
+        cam,
+        uv1,
+        query_feat.xy,
+        fm.valid,
+        key,
+        num_hypotheses=cfg.ransac_hypotheses,
+        threshold_px=cfg.ransac_threshold_px,
+    )
+    eye = jnp.eye(4)
+    tri = triangulate_points(cam, eye, est.pose, uv1, query_feat.xy, mask=fm.valid)
+    return InitAttempt(
+        pose=est.pose,
+        n_triangulated=jnp.sum(tri.valid),
+        match_train=fm.train_idx,
+        match_valid=fm.valid,
+    )
+
+
+def commit_initialization(
+    state: SlamState,
+    ref_feat: Features,
+    query_feat: Features,
+    ref_img: jnp.ndarray,
+    query_pose: jnp.ndarray,
+    match_train: jnp.ndarray,
+    match_valid: jnp.ndarray,
+    ref_index: jnp.ndarray,
+    query_index: jnp.ndarray,
+    *,
+    cam: Camera,
+    cfg: SlamConfig,
+) -> SlamState:
+    """Accept an initialization (src/Slam.cpp:42-86): triangulate, create map
+    points, BA {ref frozen, query free, points free}, rescale to unit
+    baseline, install both keyframes."""
+    F = cfg.max_keyframes
+    kfs, m = state.kfs, state.map
+    eye = jnp.eye(4)
+    K = query_feat.xy.shape[0]
+
+    rvec_q, t_q = se3.rt_from_matrix(query_pose)
+    uv1 = ref_feat.xy[match_train]
+    tri = triangulate_points(cam, eye, query_pose, uv1, query_feat.xy, mask=match_valid)
+
+    kfs = write_keyframe(
+        kfs, 0, jnp.zeros(3), jnp.zeros(3), ref_feat, jnp.full((K,), -1), ref_index
+    )
+    kfs = write_keyframe(
+        kfs, 1, rvec_q, t_q, query_feat, jnp.full((K,), -1), query_index
+    )
+    colors = bilinear_sample(ref_img, uv1)
+    m, kfs, _, created = create_points(
+        m,
+        tri.points,
+        tri.valid,
+        jnp.int32(0),
+        jnp.int32(1),
+        match_train,
+        jnp.arange(K, dtype=jnp.int32),
+        colors,
+        kfs,
+    )
+
+    # BA: ref fixed, query free, points free (src/Slam.cpp:63-68).
+    obs_uv = kfs.kp_xy[m.obs_kf, m.obs_kp]
+    point_in = m.valid
+    prob = BAProblem(
+        cam_rvec=kfs.rvec,
+        cam_t=kfs.t,
+        points=m.pos,
+        obs_cam=m.obs_kf,
+        obs_uv=obs_uv,
+        obs_valid=m.obs_valid & m.valid[:, None],
+        cam_free=jnp.arange(F) == 1,
+        cam_in_problem=kfs.valid,
+        point_free=point_in,
+        point_in_problem=point_in,
+    )
+    res = full_ba(cam, prob, max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam))
+    kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
+    m = m._replace(pos=res.points)
+
+    # Rescale to unit baseline (src/Slam.cpp:70-80).
+    scale = 1.0 / (jnp.linalg.norm(kfs.t[1] - kfs.t[0]) + 1e-12)
+    kfs = kfs._replace(t=kfs.t.at[1].set(kfs.t[1] * scale))
+    m = m._replace(pos=jnp.where(m.valid[:, None], m.pos * scale, m.pos))
+
+    return state._replace(
+        kfs=kfs,
+        map=m,
+        num_kf=jnp.int32(2),
+        last_rvec=kfs.rvec[1],
+        last_t=kfs.t[1],
+        last_feat=query_feat,
+        last_matches=kfs.matches[1],
+        frame_count=query_index.astype(jnp.int32) + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+class Slam:
+    """Host orchestrator: owns the device state, decodes frames, drives jitted
+    steps. Mirrors the public surface of the reference Slam class
+    (src/Slam.h:20-33): initialize(), step(), map/poses/reprojection_error."""
+
+    def __init__(
+        self,
+        cam: Camera,
+        video,  # iterable yielding [H, W] float32 grayscale frames
+        config: SlamConfig = SlamConfig(),
+        static_mask: np.ndarray | None = None,
+        seed: int = 0,
+    ):
+        self.cam = cam
+        self.cfg = config
+        self.video = iter(video)
+        self.frontend = ClassicalFrontend(
+            cell=config.cell,
+            n_per_cell=config.n_per_cell,
+            max_distance=config.max_match_distance,
+        )
+        K = self.frontend.num_keypoints(cam.height, cam.width)
+        from ..ops.descriptors import DESCRIPTOR_DIM
+
+        self.state = SlamState.create(
+            F=config.max_keyframes,
+            P=config.map_capacity,
+            O=config.max_observations,
+            K=K,
+            D=DESCRIPTOR_DIM,
+        )
+        self._mask = None if static_mask is None else jnp.asarray(static_mask)
+        self._key = jax.random.PRNGKey(seed)
+        self._frame_idx = 0
+        self._extract = jax.jit(self.frontend.extract)
+        self._step = jax.jit(
+            partial(slam_step, cam=cam, cfg=config, frontend=self.frontend)
+        )
+        self._try_init = jax.jit(
+            partial(
+                try_initialize,
+                cam=cam,
+                cfg=config,
+                max_distance=self.frontend.max_distance,
+            )
+        )
+        self._commit_init = jax.jit(
+            partial(commit_initialization, cam=cam, cfg=config)
+        )
+        self.infos: list = []
+
+    # -- frame source -------------------------------------------------------
+    def _next_frame(self):
+        try:
+            img = next(self.video)
+        except StopIteration:
+            return None
+        self._frame_idx += 1
+        return jnp.asarray(img, jnp.float32)
+
+    def _subkey(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -- public API ---------------------------------------------------------
+    def initialize(self) -> bool:
+        """Two-view bootstrap (src/Slam.cpp:32-87 + src/Init.cpp:8-63)."""
+        img = self._next_frame()
+        if img is None:
+            return False
+        ref_img = img
+        ref_feat = self._extract(img, self._mask)
+        ref_index = self._frame_idx - 1
+        chances = 0
+        while True:
+            img = self._next_frame()
+            if img is None:
+                return False
+            chances += 1
+            if chances > self.cfg.max_ref_chances:
+                ref_img, ref_feat, ref_index = (
+                    img,
+                    self._extract(img, self._mask),
+                    self._frame_idx - 1,
+                )
+                chances = 0
+                continue
+            query_feat = self._extract(img, self._mask)
+            att = self._try_init(ref_feat, query_feat, self._subkey())
+            if int(att.n_triangulated) < self.cfg.min_init_points:
+                continue
+            self.state = self._commit_init(
+                self.state,
+                ref_feat,
+                query_feat,
+                ref_img,
+                att.pose,
+                att.match_train,
+                att.match_valid,
+                jnp.int32(ref_index),
+                jnp.int32(self._frame_idx - 1),
+            )
+            return True
+
+    def step(self) -> StepInfo | None:
+        """Process one frame (src/Slam.cpp:89-122). Returns None at EOF."""
+        img = self._next_frame()
+        if img is None:
+            return None
+        self.state, info = self._step(self.state, img, self._subkey(), self._mask)
+        self.infos.append(info)
+        return info
+
+    def run(self, max_frames: int | None = None) -> list:
+        n = 0
+        while max_frames is None or n < max_frames:
+            if self.step() is None:
+                break
+            n += 1
+        return self.infos
+
+    # -- accessors (reference: Slam::map/poses/reprojection_error) ----------
+    def poses(self) -> np.ndarray:
+        """[num_kf, 4, 4] keyframe poses."""
+        n = int(self.state.num_kf)
+        T = se3.pose_matrix(self.state.kfs.rvec[:n], self.state.kfs.t[:n])
+        return np.asarray(T)
+
+    def keyframe_indices(self) -> np.ndarray:
+        n = int(self.state.num_kf)
+        return np.asarray(self.state.kfs.frame_index[:n])
+
+    def points(self) -> np.ndarray:
+        m = self.state.map
+        v = np.asarray(m.valid)
+        return np.asarray(m.pos)[v]
+
+    def reprojection_error(self) -> float:
+        return float(
+            keyframe_reprojection_error(self.cam, self.state.map, self.state.kfs)
+        )

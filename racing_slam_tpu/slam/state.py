@@ -1,0 +1,315 @@
+"""Fixed-capacity SoA world state: keyframes, map points, observations.
+
+The reference keeps an object graph: Frame objects with per-keypoint match
+slots (src/Frame.h:56-59), a Map holding unordered_set<unique_ptr<MapPoint>>
+(src/Map.h:57), and MapPoint observation dicts {Frame* -> keypoint index}
+(src/MapPoint.h:26-28). On TPU that becomes a pytree of padded arrays with
+validity masks:
+
+- KeyframeStore[F]: poses as (rvec, t), keypoints, descriptors, per-keypoint
+  match slots (i32 map-point id, -1 = none — mirroring Frame::m_map_matches).
+- MapState[P]: positions, colors, valid mask, and a point-major observation
+  table obs_kf/obs_kp/obs_valid[P, O] (mirroring MapPoint::m_observations).
+
+Pointer identity becomes integer slot ids; deletion (Map::remove_point,
+src/Map.cpp:40-51) becomes mask clearing plus match-slot scrubbing; slot
+allocation reuses invalid slots via argsort(valid) (invalid-first ordering).
+Every mutation below is a pure jit-safe function with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+from ..ops.camera import Camera, project_with_depth
+
+NO_MATCH = jnp.int32(-1)
+
+
+class Features(NamedTuple):
+    """Extracted per-frame features (static K slots)."""
+
+    xy: jnp.ndarray  # [K, 2]
+    desc: jnp.ndarray  # [K, D]
+    valid: jnp.ndarray  # [K] bool
+    score: jnp.ndarray  # [K]
+
+
+class KeyframeStore(NamedTuple):
+    rvec: jnp.ndarray  # [F, 3]
+    t: jnp.ndarray  # [F, 3]
+    kp_xy: jnp.ndarray  # [F, K, 2]
+    desc: jnp.ndarray  # [F, K, D]
+    kp_valid: jnp.ndarray  # [F, K] bool
+    matches: jnp.ndarray  # [F, K] i32 map-point slot or -1
+    valid: jnp.ndarray  # [F] bool
+    frame_index: jnp.ndarray  # [F] i32 source video frame id
+
+    @staticmethod
+    def create(F: int, K: int, D: int) -> "KeyframeStore":
+        return KeyframeStore(
+            rvec=jnp.zeros((F, 3)),
+            t=jnp.zeros((F, 3)),
+            kp_xy=jnp.zeros((F, K, 2)),
+            desc=jnp.zeros((F, K, D)),
+            kp_valid=jnp.zeros((F, K), bool),
+            matches=jnp.full((F, K), NO_MATCH),
+            valid=jnp.zeros((F,), bool),
+            frame_index=jnp.full((F,), -1, jnp.int32),
+        )
+
+    def pose(self, f) -> jnp.ndarray:
+        return se3.pose_matrix(self.rvec[f], self.t[f])
+
+    def num_matches(self, f) -> jnp.ndarray:
+        return jnp.sum((self.matches[f] >= 0) & self.kp_valid[f])
+
+
+class MapState(NamedTuple):
+    pos: jnp.ndarray  # [P, 3]
+    color: jnp.ndarray  # [P] intensity (grayscale pipeline; viewer tint)
+    valid: jnp.ndarray  # [P] bool
+    obs_kf: jnp.ndarray  # [P, O] i32 keyframe slot
+    obs_kp: jnp.ndarray  # [P, O] i32 keypoint index in that keyframe
+    obs_valid: jnp.ndarray  # [P, O] bool
+
+    @staticmethod
+    def create(P: int, O: int) -> "MapState":
+        return MapState(
+            pos=jnp.zeros((P, 3)),
+            color=jnp.zeros((P,)),
+            valid=jnp.zeros((P,), bool),
+            obs_kf=jnp.zeros((P, O), jnp.int32),
+            obs_kp=jnp.zeros((P, O), jnp.int32),
+            obs_valid=jnp.zeros((P, O), bool),
+        )
+
+    def num_points(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+    def observed_by(self, kf_slot) -> jnp.ndarray:
+        """[P] bool — point has an observation in keyframe `kf_slot`
+        (MapPoint::is_observed_by, src/MapPoint.cpp:32-35)."""
+        return jnp.any((self.obs_kf == kf_slot) & self.obs_valid, axis=-1)
+
+    def observation_descriptors(self, kfs: KeyframeStore) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Gather stored descriptors of all observations: [P, O, D], [P, O]."""
+        d = kfs.desc[self.obs_kf, self.obs_kp]  # [P, O, D]
+        return d, self.obs_valid & self.valid[:, None]
+
+
+class SlamState(NamedTuple):
+    kfs: KeyframeStore
+    map: MapState
+    num_kf: jnp.ndarray  # i32 — keyframe slots in use
+    # Last processed frame (reference m_last_frame, src/Slam.h:46):
+    last_rvec: jnp.ndarray  # [3]
+    last_t: jnp.ndarray  # [3]
+    last_feat: Features
+    last_matches: jnp.ndarray  # [K] i32 map slot per keypoint of last frame
+    frame_count: jnp.ndarray  # i32 — frames processed so far
+
+    @staticmethod
+    def create(F: int, P: int, O: int, K: int, D: int) -> "SlamState":
+        return SlamState(
+            kfs=KeyframeStore.create(F, K, D),
+            map=MapState.create(P, O),
+            num_kf=jnp.int32(0),
+            last_rvec=jnp.zeros(3),
+            last_t=jnp.zeros(3),
+            last_feat=Features(
+                xy=jnp.zeros((K, 2)),
+                desc=jnp.zeros((K, D)),
+                valid=jnp.zeros((K,), bool),
+                score=jnp.zeros((K,)),
+            ),
+            last_matches=jnp.full((K,), NO_MATCH),
+            frame_count=jnp.int32(0),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Mutations (pure, jit-safe)
+# ---------------------------------------------------------------------------
+
+
+def write_keyframe(
+    kfs: KeyframeStore,
+    slot: jnp.ndarray,
+    rvec: jnp.ndarray,
+    t: jnp.ndarray,
+    feat: Features,
+    matches: jnp.ndarray,
+    frame_index: jnp.ndarray,
+) -> KeyframeStore:
+    """Write a frame into keyframe slot `slot` (dynamic index)."""
+    return kfs._replace(
+        rvec=kfs.rvec.at[slot].set(rvec),
+        t=kfs.t.at[slot].set(t),
+        kp_xy=kfs.kp_xy.at[slot].set(feat.xy),
+        desc=kfs.desc.at[slot].set(feat.desc),
+        kp_valid=kfs.kp_valid.at[slot].set(feat.valid),
+        matches=kfs.matches.at[slot].set(matches),
+        valid=kfs.valid.at[slot].set(True),
+        frame_index=kfs.frame_index.at[slot].set(frame_index.astype(jnp.int32)),
+    )
+
+
+def allocate_point_slots(map_valid: jnp.ndarray, n_cand: int) -> jnp.ndarray:
+    """[n_cand] free slot ids (invalid slots first). If fewer free slots than
+    candidates exist, trailing entries point at already-valid slots — callers
+    must AND with `slot_is_free` (see create_points) to drop overflow."""
+    order = jnp.argsort(map_valid.astype(jnp.int32))  # invalid (0) first
+    return order[:n_cand].astype(jnp.int32)
+
+
+def create_points(
+    m: MapState,
+    positions: jnp.ndarray,  # [C, 3]
+    cand_valid: jnp.ndarray,  # [C]
+    kf_a: jnp.ndarray,  # scalar i32 keyframe slot of first observation
+    kf_b: jnp.ndarray,  # scalar i32 keyframe slot of second observation
+    kp_a: jnp.ndarray,  # [C] keypoint index in kf_a
+    kp_b: jnp.ndarray,  # [C] keypoint index in kf_b
+    colors: jnp.ndarray,  # [C]
+    kfs: KeyframeStore,
+) -> tuple[MapState, KeyframeStore, jnp.ndarray, jnp.ndarray]:
+    """Batch equivalent of Map::create_point (src/Map.cpp:21-38): allocate a
+    slot per valid candidate, write position/color, register the two
+    observations, and set both frames' match slots.
+
+    Returns (map, kfs, slots[C], created[C]).
+    """
+    C = positions.shape[0]
+    P = m.valid.shape[0]
+    O = m.obs_kf.shape[1]
+    K = kfs.matches.shape[1]
+    # Compact candidates to the front so the first n_valid free slots are used.
+    order = jnp.argsort(~cand_valid)  # valid candidates first
+    inv_order = jnp.argsort(order)
+    slots_sorted = allocate_point_slots(m.valid, C)
+    slots = slots_sorted[inv_order]  # slot for candidate i (distinct)
+    created = cand_valid & ~m.valid[slots]
+
+    # Masked scatter via out-of-bounds sentinel + mode='drop': rejected
+    # candidates target index P, which XLA drops deterministically.
+    target = jnp.where(created, slots, P).astype(jnp.int32)
+
+    zeros_i = jnp.zeros((C, O - 2), jnp.int32)
+    obs_kf_new = jnp.concatenate(
+        [jnp.full((C, 1), kf_a), jnp.full((C, 1), kf_b), zeros_i], axis=-1
+    ).astype(jnp.int32)
+    obs_kp_new = jnp.concatenate(
+        [kp_a[:, None], kp_b[:, None], zeros_i], axis=-1
+    ).astype(jnp.int32)
+    obs_valid_new = jnp.concatenate(
+        [jnp.ones((C, 2), bool), jnp.zeros((C, O - 2), bool)], axis=-1
+    )
+    m = m._replace(
+        pos=m.pos.at[target].set(positions, mode="drop"),
+        color=m.color.at[target].set(colors, mode="drop"),
+        valid=m.valid.at[target].set(True, mode="drop"),
+        obs_kf=m.obs_kf.at[target].set(obs_kf_new, mode="drop"),
+        obs_kp=m.obs_kp.at[target].set(obs_kp_new, mode="drop"),
+        obs_valid=m.obs_valid.at[target].set(obs_valid_new, mode="drop"),
+    )
+    # Wire both frames' match slots (Map.cpp:33-34); same drop trick on the
+    # keypoint axis.
+    kp_a_t = jnp.where(created, kp_a.astype(jnp.int32), K)
+    kp_b_t = jnp.where(created, kp_b.astype(jnp.int32), K)
+    kfs = kfs._replace(
+        matches=kfs.matches.at[kf_a, kp_a_t]
+        .set(slots, mode="drop")
+        .at[kf_b, kp_b_t]
+        .set(slots, mode="drop")
+    )
+    return m, kfs, slots, created
+
+
+def add_associations(
+    m: MapState,
+    kf_slot: jnp.ndarray,
+    point_idx: jnp.ndarray,  # [K] i32 map slot per keypoint (or -1)
+    assoc_valid: jnp.ndarray,  # [K] bool
+) -> MapState:
+    """Batch Map::add_association (src/Map.cpp:53-57): append an observation
+    (kf_slot, keypoint k) to each matched point. Observations beyond the O
+    capacity are dropped (the reference grows unboundedly; we keep the O
+    most-recent-first slots and document the cap)."""
+    K = point_idx.shape[0]
+    P, O = m.obs_valid.shape
+    pid = jnp.clip(point_idx, 0, P - 1)
+    # First free observation slot per point (obs slots filled left-to-right).
+    counts = jnp.sum(m.obs_valid, axis=-1)  # [P]
+    cursor = counts[pid]  # [K]
+    ok = assoc_valid & (point_idx >= 0) & (cursor < O)
+    # OOB sentinel + drop for rejected rows. Duplicate (pid, cursor) targets
+    # cannot occur: the matcher yields at most one keypoint per point.
+    pid_t = jnp.where(ok, pid, P).astype(jnp.int32)
+    cur_t = jnp.where(ok, cursor, O).astype(jnp.int32)
+    kp_ids = jnp.arange(K, dtype=jnp.int32)
+    return m._replace(
+        obs_kf=m.obs_kf.at[pid_t, cur_t].set(
+            jnp.full((K,), kf_slot, jnp.int32), mode="drop"
+        ),
+        obs_kp=m.obs_kp.at[pid_t, cur_t].set(kp_ids, mode="drop"),
+        obs_valid=m.obs_valid.at[pid_t, cur_t].set(True, mode="drop"),
+    )
+
+
+def remove_points(
+    m: MapState, kfs: KeyframeStore, remove: jnp.ndarray
+) -> tuple[MapState, KeyframeStore]:
+    """Batch Map::remove_point (src/Map.cpp:40-51): invalidate points and
+    scrub every keyframe match slot referencing them."""
+    m = m._replace(
+        valid=m.valid & ~remove,
+        obs_valid=m.obs_valid & ~remove[:, None],
+    )
+    ref = kfs.matches  # [F, K]
+    stale = (ref >= 0) & remove[jnp.clip(ref, 0)]
+    kfs = kfs._replace(matches=jnp.where(stale, NO_MATCH, ref))
+    return m, kfs
+
+
+def point_reprojection_errors(
+    cam: Camera, m: MapState, kfs: KeyframeStore
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean reprojection error (px) per point over its observations.
+
+    Mirrors Slam::cull_points' accumulation (src/Slam.cpp:221-243).
+    Returns (mean_err[P], has_obs[P])."""
+    P, O = m.obs_kf.shape
+    rv = kfs.rvec[m.obs_kf]  # [P, O, 3]
+    tt = kfs.t[m.obs_kf]
+    poses = se3.pose_matrix(rv.reshape(-1, 3), tt.reshape(-1, 3))  # [P*O, 4, 4]
+    pts = jnp.broadcast_to(m.pos[:, None, :], (P, O, 3)).reshape(-1, 1, 3)
+    uv, _ = project_with_depth(cam, poses, pts)
+    uv = uv.reshape(P, O, 2)
+    obs_uv = kfs.kp_xy[m.obs_kf, m.obs_kp]  # [P, O, 2]
+    err = jnp.linalg.norm(uv - obs_uv, axis=-1)
+    w = m.obs_valid & m.valid[:, None]
+    n = jnp.sum(w, axis=-1)
+    mean_err = jnp.sum(jnp.where(w, err, 0.0), axis=-1) / jnp.maximum(n, 1)
+    return mean_err, n > 0
+
+
+def keyframe_reprojection_error(
+    cam: Camera, m: MapState, kfs: KeyframeStore
+) -> jnp.ndarray:
+    """Mean px error over all keyframe match slots — the reference's
+    monitoring metric Slam::reprojection_error (src/Slam.cpp:245-260)."""
+    F, K = kfs.matches.shape
+    pid = jnp.clip(kfs.matches, 0)
+    ok = (kfs.matches >= 0) & kfs.kp_valid & kfs.valid[:, None] & m.valid[pid]
+    poses = se3.pose_matrix(kfs.rvec, kfs.t)  # [F, 4, 4]
+    pts = m.pos[pid]  # [F, K, 3]
+    uv, _ = project_with_depth(cam, poses[:, None], pts[:, :, None])
+    uv = uv.reshape(F, K, 2)
+    err = jnp.linalg.norm(uv - kfs.kp_xy, axis=-1)
+    n = jnp.sum(ok)
+    return jnp.sum(jnp.where(ok, err, 0.0)) / jnp.maximum(n, 1)
