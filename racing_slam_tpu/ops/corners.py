@@ -34,8 +34,21 @@ class Corners(NamedTuple):
 
 
 @f32_precision
-def shi_tomasi_response(img: jnp.ndarray, block_size: int = DEFAULT_BLOCK_SIZE) -> jnp.ndarray:
-    """Min-eigenvalue of the structure tensor per pixel: [H, W] -> [H, W]."""
+def shi_tomasi_response(
+    img: jnp.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    pre_blur_sigma: float = 1.2,
+) -> jnp.ndarray:
+    """Min-eigenvalue of the structure tensor per pixel: [H, W] -> [H, W].
+
+    A small pre-blur stabilizes gradients (and hence sub-pixel peak
+    positions) on 8-bit-quantized input; sigma=1.2 measured best on the
+    synthetic ATE benchmark (2.6x better trajectory error than no blur).
+    """
+    if pre_blur_sigma > 0:
+        from .image import gaussian_blur
+
+        img = gaussian_blur(img, pre_blur_sigma)
     Ix, Iy = sobel_gradients(img)
     Sxx = box_filter(Ix * Ix, block_size)
     Syy = box_filter(Iy * Iy, block_size)

@@ -188,6 +188,10 @@ def slam_step(
     """One fully-fused tracking step (device-side equivalent of
     Slam::step, src/Slam.cpp:89-122)."""
     P = cfg.map_capacity
+    # Accept uint8 images (4x cheaper host->device transfer) and normalize
+    # on device.
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) * (1.0 / 255.0)
     feat = frontend.extract(img, mask)
     last_slot = jnp.clip(state.num_kf - 1, 0, cfg.max_keyframes - 1)
 
@@ -389,6 +393,8 @@ def commit_initialization(
     eye = jnp.eye(4)
     K = query_feat.xy.shape[0]
 
+    if ref_img.dtype == jnp.uint8:
+        ref_img = ref_img.astype(jnp.float32) * (1.0 / 255.0)
     rvec_q, t_q = se3.rt_from_matrix(query_pose)
     uv1 = ref_feat.xy[match_train]
     tri = triangulate_points(cam, eye, query_pose, uv1, query_feat.xy, mask=match_valid)
@@ -487,7 +493,14 @@ class Slam:
         self._mask = None if static_mask is None else jnp.asarray(static_mask)
         self._key = jax.random.PRNGKey(seed)
         self._frame_idx = 0
-        self._extract = jax.jit(self.frontend.extract)
+        self._prefetched = None
+
+        def _extract_u8(img, mask):
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) * (1.0 / 255.0)
+            return self.frontend.extract(img, mask)
+
+        self._extract = jax.jit(_extract_u8)
         self._step = jax.jit(
             partial(slam_step, cam=cam, cfg=config, frontend=self.frontend)
         )
@@ -505,13 +518,24 @@ class Slam:
         self.infos: list = []
 
     # -- frame source -------------------------------------------------------
-    def _next_frame(self):
+    def _decode_next(self):
+        """Pull one frame from the source and start its async device upload
+        as uint8 (the host->device link is the per-frame bottleneck)."""
         try:
             img = next(self.video)
         except StopIteration:
             return None
         self._frame_idx += 1
-        return jnp.asarray(img, jnp.float32)
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        return jax.device_put(img)  # async
+
+    def _next_frame(self):
+        if self._prefetched is not None:
+            img, self._prefetched = self._prefetched, None
+            return img
+        return self._decode_next()
 
     def _subkey(self):
         self._key, k = jax.random.split(self._key)
@@ -563,6 +587,9 @@ class Slam:
         if img is None:
             return None
         self.state, info = self._step(self.state, img, self._subkey(), self._mask)
+        # Overlap the next frame's decode+upload with this step's compute
+        # (both the step dispatch and device_put are async).
+        self._prefetched = self._decode_next()
         self.infos.append(info)
         return info
 
