@@ -173,3 +173,35 @@ def test_full_ba_out_of_problem_points_ignored(rng):
     res = full_ba(cam, prob)
     np.testing.assert_allclose(np.asarray(res.cam_t)[2], poses[2][:3, 3], atol=1e-3)
     np.testing.assert_array_equal(np.asarray(res.points)[excl], X[excl])
+
+
+def test_analytic_jacobians_match_autodiff(rng):
+    """residual_and_jacobians must equal jacfwd of the packed residual."""
+    import jax
+    import jax.numpy as jnp
+
+    from racing_slam_tpu.ops.ba import (
+        _residual_packed,
+        residual_and_jacobians,
+    )
+
+    fx, cx, cy = 400.0, 160.0, 120.0
+    n = 64
+    rv = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
+    tt = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    X = jnp.asarray(synthetic_scene(rng, n))
+    uv = jnp.asarray(rng.uniform(0, 300, (n, 2)).astype(np.float32))
+
+    r, Jc, Jp = residual_and_jacobians(rv, tt, X, uv, fx, cx, cy)
+
+    p9 = jnp.concatenate([rv, tt, X], axis=-1)
+    res_fn = jax.vmap(lambda p, u: _residual_packed(p, u, fx, cx, cy))
+    jac_fn = jax.vmap(jax.jacfwd(lambda p, u: _residual_packed(p, u, fx, cx, cy)))
+    r_ref = res_fn(p9, uv)
+    J_ref = jac_fn(p9, uv)
+
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(J_ref[..., :6]),
+                               atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(Jp), np.asarray(J_ref[..., 6:]),
+                               atol=5e-5, rtol=1e-3)
