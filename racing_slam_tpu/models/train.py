@@ -1,0 +1,254 @@
+"""Self-supervised training for the learned frontend (no external data).
+
+No pretrained weights can ship in this offline image, so both networks train
+from scratch on synthesized supervision:
+
+- SuperPoint: homography-warped pairs of procedural textures. The detector
+  head distills the classical Shi-Tomasi response (ops/corners.py) — the
+  same trick as SuperPoint's synthetic-shapes pretraining, using our
+  classical detector as the corner oracle; the descriptor head trains with
+  an InfoNCE loss over ground-truth correspondences given by the homography.
+- LightGlue: given (possibly imperfect) descriptors for a warped pair with
+  known GT assignment, minimize the negative log-likelihood of the GT
+  matches under the partial assignment scores.
+
+Run: python -m racing_slam_tpu.models.train --steps 500 --out weights/
+Smoke-tested in CI with a couple of steps; longer runs produce usable
+weights on the real chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.corners import shi_tomasi_response
+from ..ops.image import bilinear_sample
+from ..utils.synthetic import random_texture
+from . import lightglue, superpoint
+
+
+# ---------------------------------------------------------------------------
+# Homography pair generation (host side)
+# ---------------------------------------------------------------------------
+
+
+def random_homography(rng: np.random.Generator, h: int, w: int, mag=0.15):
+    """Random perspective warp mapping image 0 coords -> image 1 coords."""
+    src = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+    jitter = rng.uniform(-mag, mag, (4, 2)).astype(np.float32) * [w, h]
+    dst = src + jitter
+    # DLT for the 3x3 homography.
+    A = []
+    for (x, y), (u, v) in zip(src, dst):
+        A.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        A.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+    _, _, Vt = np.linalg.svd(np.asarray(A, np.float64))
+    H = Vt[-1].reshape(3, 3)
+    return (H / H[2, 2]).astype(np.float32)
+
+
+def warp_image(img: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Inverse-warp img through H (output pixel <- H^-1 @ pixel)."""
+    h, w = img.shape
+    Hi = np.linalg.inv(H)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    ones = np.ones_like(xs)
+    pts = np.stack([xs, ys, ones], -1).reshape(-1, 3) @ Hi.T
+    uv = pts[:, :2] / pts[:, 2:3]
+    x = np.clip(uv[:, 0], 0, w - 1.001)
+    y = np.clip(uv[:, 1], 0, h - 1.001)
+    x0, y0 = x.astype(np.int32), y.astype(np.int32)
+    fx, fy = x - x0, y - y0
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    out = (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x1] * fx * (1 - fy)
+        + img[y1, x0] * (1 - fx) * fy
+        + img[y1, x1] * fx * fy
+    )
+    return out.reshape(h, w).astype(np.float32)
+
+
+def apply_h(H: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    p = np.concatenate([xy, np.ones_like(xy[:, :1])], -1) @ H.T
+    return p[:, :2] / p[:, 2:3]
+
+
+# ---------------------------------------------------------------------------
+# SuperPoint training
+# ---------------------------------------------------------------------------
+
+
+def _detector_target(img: jnp.ndarray) -> jnp.ndarray:
+    """Normalized Shi-Tomasi response as the detection distillation target."""
+    r = shi_tomasi_response(img)
+    r = jnp.maximum(r, 0.0)
+    return r / (jnp.max(r) + 1e-9)
+
+
+def superpoint_loss(params, img0, img1, xy0, xy1, corr_valid):
+    """Detector distillation (both images) + descriptor InfoNCE across the
+    homography correspondence (xy0[i] <-> xy1[i])."""
+    f0 = superpoint.backbone(params, img0)
+    f1 = superpoint.backbone(params, img1)
+    heat0, dmap0 = superpoint.heads(params, f0)
+    heat1, dmap1 = superpoint.heads(params, f1)
+
+    t0 = _detector_target(img0)
+    t1 = _detector_target(img1)
+    det_loss = jnp.mean((heat0 - t0) ** 2) + jnp.mean((heat1 - t1) ** 2)
+
+    d0 = superpoint.sample_descriptors(dmap0, xy0)  # [N, D]
+    d1 = superpoint.sample_descriptors(dmap1, xy1)
+    sim = (d0 @ d1.T) * 10.0  # temperature
+    labels = jnp.arange(sim.shape[0])
+    ce = -jax.nn.log_softmax(sim, axis=1)[labels, labels]
+    ce_t = -jax.nn.log_softmax(sim, axis=0)[labels, labels]
+    desc_loss = jnp.sum(jnp.where(corr_valid, ce + ce_t, 0.0)) / (
+        jnp.sum(corr_valid) + 1e-6
+    )
+    return 100.0 * det_loss + desc_loss
+
+
+def train_superpoint(
+    steps: int = 200,
+    img_size: tuple = (120, 160),
+    n_corr: int = 128,
+    lr: float = 1e-3,
+    seed: int = 0,
+    log_every: int = 20,
+) -> superpoint.SuperPointParams:
+    import optax
+
+    rng = np.random.default_rng(seed)
+    params = superpoint.init_params(jax.random.PRNGKey(seed))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    h, w = img_size
+
+    @jax.jit
+    def step_fn(params, opt_state, img0, img1, xy0, xy1, cv):
+        loss, grads = jax.value_and_grad(superpoint_loss)(
+            params, img0, img1, xy0, xy1, cv
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        img0 = random_texture(h, w, rng)
+        H = random_homography(rng, h, w)
+        img1 = warp_image(img0, H)
+        xy0 = rng.uniform([8, 8], [w - 8, h - 8], (n_corr, 2)).astype(np.float32)
+        xy1 = apply_h(H, xy0)
+        cv = (
+            (xy1[:, 0] >= 8) & (xy1[:, 0] < w - 8)
+            & (xy1[:, 1] >= 8) & (xy1[:, 1] < h - 8)
+        )
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(img0), jnp.asarray(img1),
+            jnp.asarray(xy0), jnp.asarray(np.clip(xy1, 0, [w - 1, h - 1])),
+            jnp.asarray(cv),
+        )
+        if log_every and i % log_every == 0:
+            print(f"superpoint step {i}: loss {float(loss):.4f}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# LightGlue training
+# ---------------------------------------------------------------------------
+
+
+def lightglue_loss(params, d0, xy0, d1, xy1, gt_idx, gt_valid, image_size):
+    """NLL of ground-truth assignment under the partial-assignment scores."""
+    K = d0.shape[0]
+    scores, m0, m1 = lightglue.assignment_scores(
+        params, d0, xy0, jnp.ones(K, bool), d1, xy1, jnp.ones(K, bool), image_size
+    )
+    picked = scores[jnp.arange(K), jnp.clip(gt_idx, 0)]
+    nll = -jnp.log(picked + 1e-9)
+    # Unmatched tokens should have low matchability.
+    unmatched_pen = -jnp.log(1.0 - m0 + 1e-9)
+    loss = jnp.sum(jnp.where(gt_valid, nll, unmatched_pen)) / K
+    return loss
+
+
+def train_lightglue(
+    steps: int = 200,
+    K: int = 96,
+    dim: int = 64,
+    n_layers: int = 2,
+    lr: float = 1e-3,
+    noise: float = 0.25,
+    seed: int = 0,
+    log_every: int = 20,
+) -> lightglue.LightGlueParams:
+    """Train on synthetic descriptor clouds: image-1 tokens are noisy copies
+    of a permuted subset of image-0 tokens; the matcher must recover the
+    permutation from descriptors + geometry."""
+    import optax
+
+    rng = np.random.default_rng(seed)
+    params = lightglue.init_params(jax.random.PRNGKey(seed), dim, dim, n_layers)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    size = (128.0, 128.0)
+
+    @jax.jit
+    def step_fn(params, opt_state, d0, xy0, d1, xy1, gt_idx, gt_valid):
+        loss, grads = jax.value_and_grad(lightglue_loss)(
+            params, d0, xy0, d1, xy1, gt_idx, gt_valid, size
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        d0 = rng.standard_normal((K, dim)).astype(np.float32)
+        d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+        xy0 = rng.uniform(0, 128, (K, 2)).astype(np.float32)
+        perm = rng.permutation(K)
+        drop = rng.random(K) < 0.25  # 25% unmatched
+        d1 = d0[perm] + noise * rng.standard_normal((K, dim)).astype(np.float32)
+        d1[drop[perm]] = rng.standard_normal((drop[perm].sum(), dim))
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        shift = rng.uniform(-10, 10, (1, 2)).astype(np.float32)
+        xy1 = np.clip(xy0[perm] + shift, 0, 127).astype(np.float32)
+        inv = np.argsort(perm)
+        gt_idx = inv  # token i of image0 -> position inv[i] in image1
+        gt_valid = ~drop
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(d0), jnp.asarray(xy0),
+            jnp.asarray(d1), jnp.asarray(xy1),
+            jnp.asarray(gt_idx), jnp.asarray(gt_valid),
+        )
+        if log_every and i % log_every == 0:
+            print(f"lightglue step {i}: loss {float(loss):.4f}")
+    return params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--out", type=Path, default=Path("weights"))
+    p.add_argument("--which", choices=["superpoint", "lightglue", "both"], default="both")
+    args = p.parse_args(argv)
+    args.out.mkdir(parents=True, exist_ok=True)
+    if args.which in ("superpoint", "both"):
+        sp = train_superpoint(args.steps)
+        superpoint.save_params(args.out / "superpoint.npz", sp)
+        print(f"saved {args.out}/superpoint.npz")
+    if args.which in ("lightglue", "both"):
+        lg = train_lightglue(args.steps)
+        lightglue.save_params(args.out / "lightglue.npz", lg)
+        print(f"saved {args.out}/lightglue.npz")
+
+
+if __name__ == "__main__":
+    main()

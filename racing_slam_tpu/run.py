@@ -43,6 +43,11 @@ def build_argparser() -> argparse.ArgumentParser:
                        action=argparse.BooleanOptionalAction, default=default)
     p.add_argument("--max-keyframes", type=int, default=32)
     p.add_argument("--map-capacity", type=int, default=4096)
+    p.add_argument("--frontend", choices=["classical", "learned"], default="classical",
+                   help="classical = Shi-Tomasi + patch descriptors (default); "
+                        "learned = SuperPoint-style network (reference deep path)")
+    p.add_argument("--weights", type=Path, default=None,
+                   help="superpoint .npz weights for --frontend learned")
     return p
 
 
@@ -94,7 +99,18 @@ def main(argv=None) -> int:
         print("error: provide a sequence YAML or --synthetic", file=sys.stderr)
         return 2
 
-    slam = Slam(cam, source, cfg, static_mask=mask, seed=args.seed)
+    frontend = None
+    if args.frontend == "learned":
+        from .models.superpoint import SuperPointFrontend, load_params
+
+        params = load_params(args.weights) if args.weights else None
+        if not args.weights:
+            print("note: --frontend learned with RANDOM weights "
+                  "(train via python -m racing_slam_tpu.models.train)")
+        frontend = SuperPointFrontend(params=params, cell=cfg.cell,
+                                      n_per_cell=cfg.n_per_cell)
+    slam = Slam(cam, source, cfg, static_mask=mask, seed=args.seed,
+                frontend=frontend)
     if args.resume:
         from .utils.checkpoint import load_state
 

@@ -33,6 +33,9 @@ class ClassicalFrontend:
         self.cell = cell
         self.n_per_cell = n_per_cell
         self.max_distance = max_distance
+        from ..ops.descriptors import DESCRIPTOR_DIM
+
+        self.descriptor_dim = DESCRIPTOR_DIM
 
     def num_keypoints(self, height: int, width: int) -> int:
         return self.n_per_cell * (-(-height // self.cell)) * (-(-width // self.cell))

@@ -471,24 +471,23 @@ class Slam:
         config: SlamConfig = SlamConfig(),
         static_mask: np.ndarray | None = None,
         seed: int = 0,
+        frontend=None,
     ):
         self.cam = cam
         self.cfg = config
         self.video = iter(video)
-        self.frontend = ClassicalFrontend(
+        self.frontend = frontend if frontend is not None else ClassicalFrontend(
             cell=config.cell,
             n_per_cell=config.n_per_cell,
             max_distance=config.max_match_distance,
         )
         K = self.frontend.num_keypoints(cam.height, cam.width)
-        from ..ops.descriptors import DESCRIPTOR_DIM
-
         self.state = SlamState.create(
             F=config.max_keyframes,
             P=config.map_capacity,
             O=config.max_observations,
             K=K,
-            D=DESCRIPTOR_DIM,
+            D=self.frontend.descriptor_dim,
         )
         self._mask = None if static_mask is None else jnp.asarray(static_mask)
         self._key = jax.random.PRNGKey(seed)
