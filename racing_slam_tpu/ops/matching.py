@@ -85,7 +85,10 @@ def match_frames(
     return FrameMatches(train_idx=best1_for_2, distance=dist, valid=ok)
 
 
-@partial(jax.jit, static_argnames=("chunk", "max_distance", "radius_px"))
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "max_distance", "radius_px", "backend"),
+)
 @f32_precision
 def match_map_to_frame(
     cam: Camera,
@@ -102,6 +105,7 @@ def match_map_to_frame(
     max_distance: float,
     radius_px: float = SEARCH_RADIUS_PX,
     chunk: int = 1024,
+    backend: str = "xla",
 ) -> MapMatches:
     """Match map points into a frame by guided projection search.
 
@@ -135,6 +139,26 @@ def match_map_to_frame(
     )
 
     kp_ok = kp_valid & ~kp_already_matched  # [K]
+
+    if backend == "pallas":
+        from .pallas.match_kernel import guided_match_stage1
+
+        interpret = jax.default_backend() != "tpu"
+        tile = min(chunk, 256)
+        pad_p = (-P) % tile
+        def padp(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad_p,) + x.shape[1:], fill, x.dtype)], axis=0
+            ) if pad_p else x
+        bk, bd = guided_match_stage1(
+            padp(uv_p), padp(gate_p, False), padp(obs_desc),
+            padp(obs_valid, False), kp_uv, kp_desc, kp_ok,
+            radius_px=radius_px, tile_p=tile, interpret=interpret,
+        )
+        best_k = bk[:P]
+        best_d = jnp.sqrt(jnp.minimum(bd[:P], _BIG))
+        best_d = jnp.where(best_d < max_distance, best_d, _BIG)
+        return _stage2(best_k, best_d, P, K)
 
     n_chunks = -(-P // chunk)
     Pp = n_chunks * chunk
@@ -172,10 +196,13 @@ def match_map_to_frame(
     best_k = best_k.reshape(-1)[:P]
     best_d = jnp.sqrt(jnp.minimum(best_d.reshape(-1)[:P], _BIG))
     best_d = jnp.where(best_d < max_distance, best_d, _BIG)
+    return _stage2(best_k, best_d, P, K)
 
-    # Stage 2 (reference :76-80): best point per keypoint via scatter-min.
+
+def _stage2(best_k: jnp.ndarray, best_d: jnp.ndarray, P: int, K: int) -> MapMatches:
+    """Stage 2 (reference :76-80): best point per keypoint via scatter-min,
+    winner id = lowest point index among the distance minimizers."""
     kp_best_d = jnp.full((K,), _BIG).at[best_k].min(best_d)
-    # Winner id: min point index among those achieving the min distance.
     pid = jnp.arange(P, dtype=jnp.int32)
     is_winner = best_d <= kp_best_d[best_k]
     kp_point = (

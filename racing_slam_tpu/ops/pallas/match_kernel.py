@@ -1,0 +1,155 @@
+"""Fused guided-matching kernel (map points -> frame keypoints) in Pallas.
+
+This is the TPU re-design of the reference's single most important inner loop
+(src/features/FeatureExtractor.cpp:26-92, traced in SURVEY.md §3.5): for each
+map point, find the best-matching keypoint among those within a 20 px radius
+of its projection, scoring against the minimum distance over the point's
+stored observation descriptors.
+
+Kernel shape: attention-style. Grid over point tiles; per tile it
+- computes the pixel-distance gate [TP, K] from projected point uvs vs
+  keypoint uvs (VPU broadcasts),
+- runs O descriptor-distance matmuls [TP, D] x [D, K] on the MXU,
+  min-accumulating over the observation axis in VMEM,
+- applies gates and performs the per-point argmin over K,
+all without spilling the [TP, O, K] intermediates to HBM (the XLA fallback in
+ops/matching.py materializes them chunk-by-chunk).
+
+The second reduction (best point per keypoint + de-dup) is a tiny scatter-min
+left to XLA. Outputs are bit-compatible with the XLA path's stage 1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e9
+
+
+def _kernel(
+    uv_p_ref,  # [TP, 2] projected point pixels
+    gate_p_ref,  # [TP, 1] f32 0/1
+    obs_desc_ref,  # [TP * O, D]
+    obs_valid_ref,  # [TP, O] f32 0/1
+    kp_uv_ref,  # [K, 2]
+    kp_desc_ref,  # [K, D]
+    kp_ok_ref,  # [K, 1] f32 0/1
+    best_k_ref,  # [TP, 1] i32 out
+    best_d_ref,  # [TP, 1] f32 out (squared distance)
+    acc_ref,  # [TP, K] f32 scratch: running min over observations
+    *,
+    O: int,
+    radius_sq: float,
+):
+    TP = uv_p_ref.shape[0]
+    K = kp_uv_ref.shape[0]
+
+    # Pixel gate [TP, K].
+    du = uv_p_ref[:, 0:1] - kp_uv_ref[:, 0][None, :]
+    dv = uv_p_ref[:, 1:2] - kp_uv_ref[:, 1][None, :]
+    px_ok = (du * du + dv * dv) <= radius_sq
+
+    kp_desc = kp_desc_ref[:]  # [K, D]
+    kp_n2 = jnp.sum(kp_desc * kp_desc, axis=-1)[None, :]  # [1, K]
+
+    acc_ref[:] = jnp.full((TP, K), _BIG, jnp.float32)
+    for o in range(O):
+        od = obs_desc_ref[pl.ds(o * TP, TP), :]  # [TP, D] (obs o of each point)
+        on2 = jnp.sum(od * od, axis=-1)[:, None]  # [TP, 1]
+        cross = jax.lax.dot_general(
+            od,
+            kp_desc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TP, K]
+        dd = jnp.maximum(on2 + kp_n2 - 2.0 * cross, 0.0)
+        ov = obs_valid_ref[:, o][:, None] > 0.0
+        acc_ref[:] = jnp.minimum(acc_ref[:], jnp.where(ov, dd, _BIG))
+
+    ok = px_ok & (gate_p_ref[:] > 0.0) & (kp_ok_ref[:, 0][None, :] > 0.0)
+    dd = jnp.where(ok, acc_ref[:], _BIG)
+    best_d_ref[:] = jnp.min(dd, axis=-1, keepdims=True)
+    best_k_ref[:] = jnp.argmin(dd, axis=-1).astype(jnp.int32)[:, None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile_p", "radius_px", "interpret"),
+)
+def guided_match_stage1(
+    uv_p: jnp.ndarray,  # [P, 2]
+    gate_p: jnp.ndarray,  # [P] bool
+    obs_desc: jnp.ndarray,  # [P, O, D]
+    obs_valid: jnp.ndarray,  # [P, O] bool
+    kp_uv: jnp.ndarray,  # [K, 2]
+    kp_desc: jnp.ndarray,  # [K, D]
+    kp_ok: jnp.ndarray,  # [K] bool
+    radius_px: float = 20.0,
+    tile_p: int = 256,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-point best keypoint + squared descriptor distance.
+
+    Returns (best_k [P] i32, best_d_sq [P] f32 — _BIG where nothing passed
+    the gates). Matches the XLA fallback's stage-1 semantics exactly.
+    """
+    P, O, D = obs_desc.shape
+    K = kp_uv.shape[0]
+    if P % tile_p != 0:
+        raise ValueError(f"P={P} must be a multiple of tile_p={tile_p}")
+
+    # Layout: observation-major rows grouped per tile so the kernel can slice
+    # [o*TP:(o+1)*TP] contiguously: [P/TP, O, TP, D] -> [(P/TP)*O*TP, D].
+    n_tiles = P // tile_p
+    obs_rows = (
+        obs_desc.reshape(n_tiles, tile_p, O, D)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_tiles * O * tile_p, D)
+    )
+
+    grid = (n_tiles,)
+    out = pl.pallas_call(
+        partial(_kernel, O=O, radius_sq=radius_px * radius_px),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_p * O, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile_p, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_p, K), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * O * K * D,
+            bytes_accessed=P * O * D * 4 + K * D * 4 + P * K * 4,
+            transcendentals=0,
+        ),
+    )(
+        uv_p.astype(jnp.float32),
+        gate_p.astype(jnp.float32)[:, None],
+        obs_rows.astype(jnp.float32),
+        obs_valid.astype(jnp.float32),
+        kp_uv.astype(jnp.float32),
+        kp_desc.astype(jnp.float32),
+        kp_ok.astype(jnp.float32)[:, None],
+    )
+    best_k, best_d = out
+    return best_k[:, 0], best_d[:, 0]

@@ -50,6 +50,10 @@ class SlamConfig:
     ransac_hypotheses: int = 512
     ransac_threshold_px: float = 0.4  # src/PoseEstimation.cpp:78
 
+    # Guided-matcher backend: "auto" = fused Pallas kernel on TPU, XLA
+    # fallback elsewhere (interpret-mode Pallas is too slow for CPU runs).
+    matching_backend: str = "auto"
+
 
 @dataclasses.dataclass
 class SequenceConfig:

@@ -223,6 +223,9 @@ def slam_step(
         rvec, t = state.last_rvec, state.last_t
 
     huber = _huber(cfg, cam)
+    backend = cfg.matching_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     obs_desc, obs_dvalid = state.map.observation_descriptors(state.kfs)
     no_kp_matched = jnp.zeros(feat.valid.shape, bool)
     no_pt_matched = jnp.zeros((P,), bool)
@@ -242,6 +245,7 @@ def slam_step(
         no_kp_matched,
         no_pt_matched,
         max_distance=frontend.max_distance,
+        backend=backend,
     )
     matches = jnp.where(mm1.valid, mm1.point_idx, -1)
     n_kf_matches = jnp.sum(matches >= 0)
@@ -274,6 +278,7 @@ def slam_step(
         matches >= 0,
         _point_matched_mask(P, matches, feat.valid),
         max_distance=frontend.max_distance,
+        backend=backend,
     )
     matches = jnp.where(mm2.valid & (matches < 0), mm2.point_idx, matches)
 

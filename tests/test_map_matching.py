@@ -96,3 +96,33 @@ def test_at_most_one_point_per_keypoint(rng):
     valid = np.asarray(m.valid)
     pts = np.asarray(m.point_idx)[valid]
     assert len(np.unique(pts)) == len(pts)  # no point matched twice
+
+
+def test_pallas_backend_matches_xla(rng):
+    """The fused Pallas stage-1 kernel must agree with the XLA fallback."""
+    import jax.numpy as jnp
+
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(rng, P=64, K=80)
+    kwargs = dict(
+        point_mask=None, kp_matched=None, pt_matched=None, max_distance=0.8,
+    )
+    m_xla = _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid, **kwargs)
+
+    from racing_slam_tpu.ops.matching import match_map_to_frame
+
+    P, K = X.shape[0], kp_uv.shape[0]
+    m_pal = match_map_to_frame(
+        cam, jnp.asarray(pose), jnp.asarray(X), jnp.ones(P, bool),
+        jnp.asarray(obs_desc), jnp.asarray(obs_valid),
+        jnp.asarray(kp_uv), jnp.asarray(kp_desc), jnp.ones(K, bool),
+        jnp.zeros(K, bool), jnp.zeros(P, bool),
+        max_distance=0.8, chunk=32, backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(m_xla.valid), np.asarray(m_pal.valid))
+    v = np.asarray(m_xla.valid)
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.point_idx)[v], np.asarray(m_pal.point_idx)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_xla.distance)[v], np.asarray(m_pal.distance)[v], atol=1e-4
+    )
