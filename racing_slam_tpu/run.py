@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     from .utils import viz
     from .utils.checkpoint import save_state
     from .utils.timing import MetricsSink, StageTimer
-    from .utils.video import ArraySource, VideoLoader, load_mask
+    from .utils.video import ArraySource, load_mask, open_video
 
     cfg = SlamConfig(
         triangulate_points=args.triangulate_points,
@@ -88,7 +88,7 @@ def main(argv=None) -> int:
         mask = None
     elif args.sequence:
         sc = load_sequence_yaml(args.sequence)
-        loader = VideoLoader(sc.video)
+        loader = open_video(sc.video)
         cx = sc.cx if sc.cx is not None else loader.width / 2  # main.cpp:21-26
         cy = sc.cy if sc.cy is not None else loader.height / 2
         cam = Camera(fx=sc.fx, fy=sc.fy, cx=cx, cy=cy,

@@ -11,6 +11,20 @@ from __future__ import annotations
 import numpy as np
 
 
+def open_video(path: str, prefer_native: bool = True):
+    """Best decoder available: native threaded C++ loader (decode overlaps
+    device compute) with Python fallback."""
+    if prefer_native:
+        try:
+            from ..native_bindings import NativeVideoLoader, available
+
+            if available():
+                return NativeVideoLoader(path)
+        except Exception:
+            pass
+    return VideoLoader(path)
+
+
 class VideoLoader:
     """Sequential mp4/avi decoder (reference: VideoLoader.cpp:9-42)."""
 
@@ -55,6 +69,13 @@ class VideoLoader:
 def load_mask(path: str) -> np.ndarray:
     """Grayscale static mask; nonzero = feature detection allowed
     (reference: cv::imread(..., IMREAD_GRAYSCALE), src/main.cpp:33-37)."""
+    try:
+        from ..native_bindings import available, load_mask_native
+
+        if available():
+            return load_mask_native(path)
+    except Exception:
+        pass
     import cv2
 
     m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)

@@ -74,3 +74,37 @@ def test_cli_synthetic(tmp_path):
     out = tmp_path / "out"
     for f in ["trajectory.png", "map.ply", "trajectory.tum", "state.npz", "metrics.jsonl"]:
         assert (out / f).exists(), f
+
+
+def test_native_video_loader(tmp_path):
+    """The C++ threaded decoder must produce the same frames as cv2."""
+    import cv2
+
+    from racing_slam_tpu.native_bindings import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library not built")
+    from racing_slam_tpu.native_bindings import NativeVideoLoader
+
+    path = str(tmp_path / "t.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+    rng = np.random.default_rng(0)
+    raw = [(rng.random((48, 64, 3)) * 255).astype(np.uint8) for _ in range(8)]
+    for f in raw:
+        w.write(f)
+    w.release()
+
+    vl = NativeVideoLoader(path)
+    assert (vl.width, vl.height) == (64, 48)
+    got = list(vl)
+    vl.close()
+    assert len(got) == 8
+
+    cap = cv2.VideoCapture(path)
+    for g in got:
+        ok, f = cap.read()
+        assert ok
+        ref = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+        np.testing.assert_array_equal(g, ref)
