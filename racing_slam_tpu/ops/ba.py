@@ -399,6 +399,103 @@ def _problem_cost(
 
 
 @f32_precision
+def structure_ba(
+    cam: Camera,
+    prob: BAProblem,
+    free_slot: jnp.ndarray,
+    max_iters: int = MAX_ITERS,
+    init_lambda: float = 1e-4,
+    huber_delta: float = HUBER_DELTA,
+) -> BAResult:
+    """Schur LM specialized to ONE free camera + free points.
+
+    This is the exact shape of the reference's per-keyframe global BA
+    (src/Slam.cpp:202-213: every previous keyframe frozen, the newest free,
+    optimize_points=true) and of the bootstrap BA (src/Slam.cpp:63-68). With
+    a single free camera the reduced camera system is just 6x6 and none of
+    the [P, F, ...] coupling tensors of the generic solver exist: frozen
+    cameras enter only through the per-point Hessians/gradients (anchors),
+    and the camera-point coupling is a single [P, 6, 3] block. ~F x less
+    work per LM iteration than `full_ba` with identical semantics
+    (`prob.cam_free` is ignored; the free camera is `free_slot`).
+    """
+    fx, cx, cy = cam.fx, cam.cx, cam.cy
+    F = prob.cam_rvec.shape[0]
+    eye3 = jnp.eye(3)
+    n_res = jnp.sum(
+        prob.obs_valid
+        & prob.cam_in_problem[jnp.clip(prob.obs_cam, 0, F - 1)]
+        & prob.point_in_problem[:, None]
+    )
+
+    def step(state, _):
+        cam_rvec, cam_t, points, lam, cost = state
+        cur = prob._replace(cam_rvec=cam_rvec, cam_t=cam_t, points=points)
+        r, s, w, Jc, Jp, include, safe_cam = _obs_terms(cam, cur, huber_delta)
+        free_obs = (safe_cam == free_slot).astype(w.dtype) * w  # [P, O]
+
+        # Camera block (free camera only).
+        Jc_f = Jc * free_obs[..., None, None]
+        Hcc = jnp.einsum("porj,pork->jk", Jc_f, Jc)  # [6, 6]
+        g_c = jnp.einsum("porj,por->j", Jc_f, r)  # [6]
+
+        # Point blocks over ALL included observations (frozen cams anchor).
+        Jp_w = Jp * w[..., None, None]
+        Hpp = jnp.einsum("pori,porj->pij", Jp_w, Jp)  # [P, 3, 3]
+        g_p = jnp.einsum("pori,por->pi", Jp_w, r)  # [P, 3]
+        # Coupling with the free camera: Y[p] = sum_{o: cam=free} W[p, o].
+        Y = jnp.einsum("porj,pori->pji", Jc_f, Jp)  # [P, 6, 3]
+
+        dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+        Hpp_d = Hpp + lam * dpp[..., :, None] * eye3 + 1e-9 * eye3
+        Hpp_inv = _inv3x3(Hpp_d) * prob.point_free[:, None, None]
+
+        Z = jnp.einsum("pik,pkl->pil", Y, Hpp_inv)  # [P, 6, 3]
+        S = (
+            Hcc
+            + lam * jnp.diag(jnp.diagonal(Hcc))
+            + 1e-9 * jnp.eye(6)
+            - jnp.einsum("pil,pjl->ij", Z, Y)
+        )
+        g_red = g_c - jnp.einsum("pik,pk->i", Z, g_p)
+        delta_c = -jnp.linalg.solve(S, g_red)  # [6]
+
+        # Back-substitution: frozen cameras have zero delta, so only the
+        # free-camera coupling term appears.
+        delta_p = -jnp.einsum(
+            "pij,pj->pi", Hpp_inv, g_p + jnp.einsum("pji,j->pi", Y, delta_c)
+        )
+
+        cam_rvec_new = cam_rvec.at[free_slot].add(delta_c[:3])
+        cam_t_new = cam_t.at[free_slot].add(delta_c[3:])
+        points_new = points + delta_p * prob.point_free[:, None]
+
+        new_cost = _problem_cost(
+            cam,
+            prob._replace(
+                cam_rvec=cam_rvec_new, cam_t=cam_t_new, points=points_new
+            ),
+            huber_delta,
+        )
+        accept = new_cost < cost
+        cam_rvec = jnp.where(accept, cam_rvec_new, cam_rvec)
+        cam_t = jnp.where(accept, cam_t_new, cam_t)
+        points = jnp.where(accept, points_new, points)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 2.5)
+        cost = jnp.where(accept, new_cost, cost)
+        return (cam_rvec, cam_t, points, lam, cost), None
+
+    cost0 = _problem_cost(cam, prob, huber_delta)
+    init = (prob.cam_rvec, prob.cam_t, prob.points, jnp.float32(init_lambda), cost0)
+    (cam_rvec, cam_t, points, _, cost), _ = jax.lax.scan(
+        step, init, None, length=max_iters
+    )
+    return BAResult(
+        cam_rvec=cam_rvec, cam_t=cam_t, points=points, cost=cost, num_residuals=n_res
+    )
+
+
+@f32_precision
 def full_ba(
     cam: Camera,
     prob: BAProblem,

@@ -24,31 +24,48 @@ def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """'same' conv of [H, W] with [kh, kw], f32."""
-    out = jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :].astype(jnp.float32),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0, 0]
+    """'same' conv of [H, W] with [kh, kw], f32.
+
+    Single-channel spatial convolutions lower poorly on the TPU MXU (the
+    systolic array wants a contraction dimension, and C=1 gives it none), so
+    this routes through shift-and-add: one padded slice + FMA per tap. For
+    the small separable kernels used here (3-15 taps per axis) that is pure
+    VPU work at full bandwidth.
+    """
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    H, W = img.shape
+    padded = jnp.pad(img, ((ph, kh - 1 - ph), (pw, kw - 1 - pw)))
+    out = jnp.zeros_like(img)
+    for dy in range(kh):
+        for dx in range(kw):
+            k = kernel[kh - 1 - dy, kw - 1 - dx]  # conv = correlate(flipped)
+            out = out + k * jax.lax.dynamic_slice(padded, (dy, dx), (H, W))
+    return out
+
+
+def _sep_conv(img: jnp.ndarray, krow: jnp.ndarray, kcol: jnp.ndarray) -> jnp.ndarray:
+    """Separable 'same' conv: 1-D kernel along W (krow) then along H (kcol)."""
+    tmp = _conv2d(img, krow[None, :])
+    return _conv2d(tmp, kcol[:, None])
 
 
 @f32_precision
 def sobel_gradients(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Ix, Iy via 3x3 Sobel (matches cv::Sobel used inside GFTT)."""
-    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-    ky = kx.T
-    return _conv2d(img, kx), _conv2d(img, ky)
+    """Ix, Iy via 3x3 Sobel (matches cv::Sobel used inside GFTT).
+
+    Sobel is separable: smooth [1,2,1] x diff [-1,0,1]."""
+    smooth = jnp.array([1.0, 2.0, 1.0])
+    diff = jnp.array([-1.0, 0.0, 1.0])
+    ix = _sep_conv(img, diff, smooth)
+    iy = _sep_conv(img, smooth, diff)
+    return ix, iy
 
 
 def box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
     """size x size box sum (not mean) via separable conv."""
     k = jnp.ones((size,), jnp.float32)
-    tmp = _conv2d(img, k[None, :])
-    return _conv2d(tmp, k[:, None])
+    return _sep_conv(img, k, k)
 
 
 def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
@@ -61,20 +78,29 @@ def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
 
 def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     k = jnp.asarray(gaussian_kernel1d(sigma))
-    tmp = _conv2d(img, k[None, :])
-    return _conv2d(tmp, k[:, None])
+    return _sep_conv(img, k, k)
 
 
 def max_pool_same(img: jnp.ndarray, size: int) -> jnp.ndarray:
-    """size x size max filter, 'same' padding (for NMS)."""
-    return jax.lax.reduce_window(
-        img,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(size, size),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
+    """size x size max filter, 'same' padding (for NMS).
+
+    Separable shift-max (size taps per axis) instead of lax.reduce_window,
+    whose stride-1 'SAME' windows are slow on TPU."""
+    H, W = img.shape
+    p = size // 2
+
+    def pool_axis(x, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (p, size - 1 - p)
+        padded = jnp.pad(x, pad, constant_values=-jnp.inf)
+        out = None
+        for d in range(size):
+            start = (d, 0) if axis == 0 else (0, d)
+            sl = jax.lax.dynamic_slice(padded, start, (H, W))
+            out = sl if out is None else jnp.maximum(out, sl)
+        return out
+
+    return pool_axis(pool_axis(img, 1), 0)
 
 
 @f32_precision

@@ -54,6 +54,21 @@ class SlamConfig:
     # fallback elsewhere (interpret-mode Pallas is too slow for CPU runs).
     matching_backend: str = "auto"
 
+    # Failure detection / recovery (new capability; the reference only prints
+    # "Initialization failed" and keeps going — src/Slam.cpp:38-41). Tracking
+    # is declared lost after `lost_patience` consecutive frames with fewer
+    # than `min_track_matches` map matches; if `reinit_on_lost`, the engine
+    # archives the finished trajectory segment and re-runs the two-view
+    # bootstrap from the current stream position.
+    min_track_matches: int = 30
+    lost_patience: int = 2
+    reinit_on_lost: bool = True
+    # Loss checks read one scalar back from the device; over a remote-chip
+    # link every readback is a round trip, so sample only every N-th frame
+    # (patience counts failing CHECKS, so detection lag is at most
+    # interval * patience frames).
+    lost_check_interval: int = 4
+
 
 @dataclasses.dataclass
 class SequenceConfig:

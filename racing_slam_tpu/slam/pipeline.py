@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import se3
-from ..ops.ba import HUBER_DELTA, BAProblem, full_ba, motion_ba
+from ..ops.ba import HUBER_DELTA, BAProblem, motion_ba, structure_ba
 from ..ops.camera import Camera
 from ..ops.image import bilinear_sample
 from ..ops.matching import match_frames, match_map_to_frame, unmatched_mask
@@ -91,12 +91,24 @@ def _commit_keyframe(
     """The keyframe path (src/Slam.cpp:177-219 + cull 221-243), jit-safe."""
     F = cfg.max_keyframes
     kfs, m = state.kfs, state.map
-    slot = jnp.minimum(state.num_kf, F - 1)  # saturate at capacity
-    last_slot = jnp.clip(state.num_kf - 1, 0, F - 1)
+    last_slot = state.last_kf_slot
 
-    # If the slot is being reused (capacity saturation), scrub observations
-    # that still reference it.
+    # Slot policy: fill free slots first; at capacity, evict the OLDEST
+    # keyframe (sliding local map). The reference grows its keyframe vector
+    # unboundedly (src/Slam.h:44); a fixed-capacity TPU store must evict, and
+    # oldest-first keeps the recent window that tracking actually matches
+    # against.
+    oldest = jnp.argmin(
+        jnp.where(kfs.valid, kfs.frame_index, jnp.iinfo(jnp.int32).max)
+    ).astype(jnp.int32)
+    slot = jnp.where(state.num_kf < F, state.num_kf, oldest)
+
+    # Scrub observations referencing the evicted slot, then drop map points
+    # that lost their last observation (they can never be matched or culled
+    # again — zombie slots would otherwise exhaust map capacity).
     m = m._replace(obs_valid=m.obs_valid & (m.obs_kf != slot))
+    orphan = m.valid & ~jnp.any(m.obs_valid, axis=-1)
+    m, kfs = remove_points(m, kfs, orphan)
 
     match_ok = (matches >= 0) & feat.valid
     kfs = write_keyframe(
@@ -152,8 +164,8 @@ def _commit_keyframe(
             point_free=point_in,
             point_in_problem=point_in,
         )
-        res = full_ba(
-            cam, prob, max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
+        res = structure_ba(
+            cam, prob, slot, max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
         )
         kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
         m = m._replace(pos=res.points)
@@ -170,6 +182,7 @@ def _commit_keyframe(
         kfs=kfs,
         map=m,
         num_kf=jnp.minimum(state.num_kf + 1, F),
+        last_kf_slot=slot,
         last_rvec=rvec,
         last_t=t,
     )
@@ -193,7 +206,7 @@ def slam_step(
     if img.dtype == jnp.uint8:
         img = img.astype(jnp.float32) * (1.0 / 255.0)
     feat = frontend.extract(img, mask)
-    last_slot = jnp.clip(state.num_kf - 1, 0, cfg.max_keyframes - 1)
+    last_slot = state.last_kf_slot
 
     # ---- Initial pose estimate (src/Slam.cpp:124-136) ----------------------
     if cfg.essential_matrix_estimation:
@@ -438,7 +451,9 @@ def commit_initialization(
         point_free=point_in,
         point_in_problem=point_in,
     )
-    res = full_ba(cam, prob, max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam))
+    res = structure_ba(
+        cam, prob, jnp.int32(1), max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
+    )
     kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
     m = m._replace(pos=res.points)
 
@@ -451,6 +466,7 @@ def commit_initialization(
         kfs=kfs,
         map=m,
         num_kf=jnp.int32(2),
+        last_kf_slot=jnp.int32(1),
         last_rvec=kfs.rvec[1],
         last_t=kfs.t[1],
         last_feat=query_feat,
@@ -520,6 +536,12 @@ class Slam:
             partial(commit_initialization, cam=cam, cfg=config)
         )
         self.infos: list = []
+        # Failure detection / recovery bookkeeping (SlamConfig.reinit_on_lost).
+        self._lost_streak = 0
+        self._frames_since_check = 0
+        self._pending_info: StepInfo | None = None
+        self.segments: list[dict] = []  # archived trajectory segments
+        self.n_reinits = 0
 
     # -- frame source -------------------------------------------------------
     def _decode_next(self):
@@ -587,15 +609,65 @@ class Slam:
 
     def step(self) -> StepInfo | None:
         """Process one frame (src/Slam.cpp:89-122). Returns None at EOF."""
-        img = self._next_frame()
-        if img is None:
-            return None
-        self.state, info = self._step(self.state, img, self._subkey(), self._mask)
-        # Overlap the next frame's decode+upload with this step's compute
-        # (both the step dispatch and device_put are async).
-        self._prefetched = self._decode_next()
-        self.infos.append(info)
-        return info
+        while True:
+            img = self._next_frame()
+            if img is None:
+                return None
+            self.state, info = self._step(
+                self.state, img, self._subkey(), self._mask
+            )
+            # Overlap the next frame's decode+upload with this step's compute
+            # (both the step dispatch and device_put are async).
+            self._prefetched = self._decode_next()
+            self.infos.append(info)
+            if not self.cfg.reinit_on_lost:
+                return info
+            # Sample the loss signal every lost_check_interval frames, and
+            # read the PREVIOUS sampled frame's info: its scalars are ready
+            # (it finished while later steps were dispatched), so the
+            # readback does not stall the async pipeline.
+            self._frames_since_check += 1
+            if self._frames_since_check < self.cfg.lost_check_interval:
+                return info
+            self._frames_since_check = 0
+            prev, self._pending_info = self._pending_info, info
+            if prev is None or self._check_tracking(prev):
+                return info
+            # Tracking was lost and a re-bootstrap ran: continue with the
+            # next frame on the fresh map.
+
+    # -- failure detection / recovery (new capability; see SlamConfig) ------
+    def _check_tracking(self, info: StepInfo) -> bool:
+        """Declare tracking lost after `lost_patience` consecutive
+        low-match frames; archive the segment and re-bootstrap. Returns
+        False when a re-initialization was attempted (the caller then moves
+        on to the next frame, or hits EOF if the bootstrap exhausted it)."""
+        if int(info.n_matches_total) >= self.cfg.min_track_matches:
+            self._lost_streak = 0
+            return True
+        self._lost_streak += 1
+        if self._lost_streak < self.cfg.lost_patience:
+            return True
+        self._lost_streak = 0
+        self.segments.append(
+            dict(
+                poses=self.poses(),
+                frame_indices=self.keyframe_indices(),
+                points=self.points(),
+            )
+        )
+        K = self.state.last_feat.xy.shape[0]
+        self.state = SlamState.create(
+            F=self.cfg.max_keyframes,
+            P=self.cfg.map_capacity,
+            O=self.cfg.max_observations,
+            K=K,
+            D=self.frontend.descriptor_dim,
+        )
+        self.n_reinits += 1
+        self._pending_info = None  # drop the in-flight info from the old map
+        self.initialize()
+        return False
 
     def run(self, max_frames: int | None = None) -> list:
         n = 0
@@ -606,15 +678,22 @@ class Slam:
         return self.infos
 
     # -- accessors (reference: Slam::map/poses/reprojection_error) ----------
+    def _kf_slots(self) -> np.ndarray:
+        """Valid keyframe slots ordered by source frame index (the store is
+        unordered once eviction starts reusing slots)."""
+        v = np.asarray(self.state.kfs.valid)
+        fi = np.asarray(self.state.kfs.frame_index)
+        slots = np.nonzero(v)[0]
+        return slots[np.argsort(fi[slots], kind="stable")]
+
     def poses(self) -> np.ndarray:
-        """[num_kf, 4, 4] keyframe poses."""
-        n = int(self.state.num_kf)
-        T = se3.pose_matrix(self.state.kfs.rvec[:n], self.state.kfs.t[:n])
+        """[num_kf, 4, 4] keyframe poses in temporal order."""
+        s = self._kf_slots()
+        T = se3.pose_matrix(self.state.kfs.rvec[s], self.state.kfs.t[s])
         return np.asarray(T)
 
     def keyframe_indices(self) -> np.ndarray:
-        n = int(self.state.num_kf)
-        return np.asarray(self.state.kfs.frame_index[:n])
+        return np.asarray(self.state.kfs.frame_index)[self._kf_slots()]
 
     def points(self) -> np.ndarray:
         m = self.state.map

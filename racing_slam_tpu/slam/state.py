@@ -106,6 +106,7 @@ class SlamState(NamedTuple):
     kfs: KeyframeStore
     map: MapState
     num_kf: jnp.ndarray  # i32 — keyframe slots in use
+    last_kf_slot: jnp.ndarray  # i32 — slot of the most recent keyframe
     # Last processed frame (reference m_last_frame, src/Slam.h:46):
     last_rvec: jnp.ndarray  # [3]
     last_t: jnp.ndarray  # [3]
@@ -119,6 +120,7 @@ class SlamState(NamedTuple):
             kfs=KeyframeStore.create(F, K, D),
             map=MapState.create(P, O),
             num_kf=jnp.int32(0),
+            last_kf_slot=jnp.int32(0),
             last_rvec=jnp.zeros(3),
             last_t=jnp.zeros(3),
             last_feat=Features(

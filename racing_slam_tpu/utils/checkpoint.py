@@ -35,6 +35,7 @@ def load_state(path: str | Path) -> SlamState:
             kfs=KeyframeStore(*([0] * 8)),
             map=MapState(*([0] * 6)),
             num_kf=0,
+            last_kf_slot=0,
             last_rvec=0,
             last_t=0,
             last_feat=Features(0, 0, 0, 0),

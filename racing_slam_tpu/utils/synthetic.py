@@ -169,7 +169,29 @@ def make_sequence(
     if step_t is None:
         step_t = np.array([0.12, 0.01, 0.22], np.float32)  # lateral + forward
 
-    world = SpriteWorld.generate(rng, n_sprites=n_sprites)
+    # For trajectories with real forward motion, populate a CORRIDOR of
+    # sprites along the whole path (constant density, lateral centers
+    # following the dolly) instead of a fixed-depth band — otherwise the
+    # camera drives out of the populated region and the scene empties,
+    # which starves feature tracking for reasons unrelated to the engine.
+    step_z = float(step_t[2])
+    total_forward = step_z * max(n_frames - 1, 0)
+    if total_forward > 1.0:
+        depth_lo, depth_hi = 5.0, 14.0 + total_forward
+        n_eff = max(n_sprites, int(n_sprites * (depth_hi - depth_lo) / 9.0))
+        depths = rng.uniform(depth_lo, depth_hi, n_eff)
+        # Frame at which each sprite sits mid-view; shift it onto the path.
+        i_star = np.clip((depths - 9.5) / step_z, 0, n_frames - 1)
+        lat = 6.0 * 0.6 * (9.5 / 5.0)
+        cx = rng.uniform(-lat, lat, n_eff) + float(step_t[0]) * i_star
+        cy = rng.uniform(-lat * 0.7, lat * 0.7, n_eff) + float(step_t[1]) * i_star
+        world = SpriteWorld(
+            centers=np.stack([cx, cy, depths], axis=-1).astype(np.float32),
+            half_sizes=rng.uniform(0.25, 0.6, n_eff).astype(np.float32),
+            textures=[random_texture(48, 48, rng) for _ in range(n_eff)],
+        )
+    else:
+        world = SpriteWorld.generate(rng, n_sprites=n_sprites)
     poses = []
     frames = []
     for i in range(n_frames):

@@ -3,7 +3,7 @@ import numpy as np
 from scipy.spatial.transform import Rotation
 
 from racing_slam_tpu.ops import se3
-from racing_slam_tpu.ops.ba import BAProblem, full_ba, motion_ba
+from racing_slam_tpu.ops.ba import BAProblem, full_ba, motion_ba, structure_ba
 from tests.geometry_fixtures import default_camera, project_np, synthetic_scene
 
 
@@ -144,6 +144,30 @@ def test_full_ba_keyframe_semantics(rng):
     # Frozen cameras must be bit-identical.
     np.testing.assert_array_equal(np.asarray(res.cam_t)[:2],
                                   np.stack([p[:3, 3] for p in poses_pert[:2]]))
+
+
+def test_structure_ba_matches_full_ba(rng):
+    """The single-free-camera fast path (structure_ba, used by the pipeline's
+    keyframe BA) must agree with the generic Schur solver on the exact
+    problem shape the pipeline builds (one free cam + free points)."""
+    cam, poses, X, obs_cam, obs_uv, obs_valid = _make_rig(rng, n_cams=3)
+    poses_pert = [p.copy() for p in poses]
+    poses_pert[2][:3, 3] += np.float32([0.06, -0.04, 0.05])
+    X_noisy = X + rng.normal(0, 0.03, X.shape).astype(np.float32)
+    prob = _problem_from_rig(cam, poses_pert, X_noisy, obs_cam, obs_uv, obs_valid,
+                             cam_free=np.array([False, False, True]),
+                             point_free=np.ones(len(X), bool))
+    res_f = full_ba(cam, prob)
+    res_s = structure_ba(cam, prob, jnp.int32(2))
+    np.testing.assert_allclose(np.asarray(res_s.cam_t), np.asarray(res_f.cam_t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_s.cam_rvec),
+                               np.asarray(res_f.cam_rvec), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_s.points),
+                               np.asarray(res_f.points), atol=1e-3)
+    # And it converges to ground truth on its own.
+    np.testing.assert_allclose(np.asarray(res_s.cam_t)[2], poses[2][:3, 3],
+                               atol=2e-3)
 
 
 def test_full_ba_frozen_points_anchor(rng):

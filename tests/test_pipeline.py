@@ -67,7 +67,7 @@ def test_reference_default_config(seq):
     """The reference main hard-codes {triangulate=0, BA=1, optimize_pose=1,
     cull=0, essential=0} (src/main.cpp:53-59). Tracking must hold while the
     bootstrap map stays visible."""
-    cfg = SlamConfig(max_keyframes=16, map_capacity=2048)
+    cfg = SlamConfig(max_keyframes=16, map_capacity=2048, reinit_on_lost=False)
     slam = _run(seq, cfg, max_frames=6)
     # No triangulation: the number of map points never grows.
     n_pts = [int(i.n_points) for i in slam.infos]
@@ -104,6 +104,69 @@ def test_tracking_pose_accuracy_per_frame(seq):
         camera_centers(np.stack(gt_all))[-1] - camera_centers(np.stack(gt_all))[0]
     )
     assert ate < 0.06 * length, f"per-frame ATE {ate} vs length {length}"
+
+
+def test_tracking_lost_reinit():
+    """Failure detection + recovery (SURVEY.md §5): a hard cut to an
+    unrelated scene must be detected as tracking loss, the finished segment
+    archived, and the engine re-bootstrapped on the new scene."""
+    cam = _small_cam()
+    step = np.array([0.10, 0.01, 0.16], np.float32)
+    a = make_sequence(np.random.default_rng(5), n_frames=8, cam=cam,
+                      n_sprites=140, step_t=step)
+    b = make_sequence(np.random.default_rng(99), n_frames=8, cam=cam,
+                      n_sprites=140, step_t=step)
+    cfg = SlamConfig(
+        triangulate_points=True, bundle_adjust=True, optimize_pose=True,
+        cull_points=True, max_keyframes=16, map_capacity=2048,
+        lost_check_interval=1,
+    )
+    slam = Slam(cam, ArraySource(a.frames + b.frames), cfg)
+    assert slam.initialize()
+    slam.run()
+    assert slam.n_reinits >= 1
+    assert len(slam.segments) == slam.n_reinits
+    seg = slam.segments[0]
+    assert seg["poses"].shape[0] >= 2
+    # The engine recovered: it is tracking again on a fresh two-view map.
+    assert int(slam.state.num_kf) >= 2
+    # Archived keyframes belong to the first scene (frames 0..7), modulo the
+    # patience window: at most the junk keyframe committed at the cut leaks in.
+    assert seg["frame_indices"].min() < 8
+    assert seg["frame_indices"].max() <= 8 + cfg.lost_patience
+
+
+def test_keyframe_eviction_keeps_tracking():
+    """At keyframe capacity the engine evicts the OLDEST keyframe (sliding
+    local map) and drops orphaned points; tracking must stay healthy well
+    past capacity instead of starving (match decay death spiral)."""
+    cam = _small_cam()
+    rng = np.random.default_rng(11)
+    long_seq = make_sequence(rng, n_frames=26, cam=cam, n_sprites=160,
+                             step_t=np.array([0.08, 0.01, 0.12], np.float32))
+    cfg = SlamConfig(
+        triangulate_points=True, bundle_adjust=True, optimize_pose=True,
+        cull_points=True, max_keyframes=6, map_capacity=2048,
+        reinit_on_lost=False,
+    )
+    slam = Slam(cam, ArraySource(long_seq.frames), cfg)
+    assert slam.initialize()
+    slam.run()
+    n_kf_committed = sum(bool(i.is_keyframe) for i in slam.infos) + 2
+    assert n_kf_committed > 6, "scenario never hit keyframe capacity"
+    # Store saturated; survivors are the MOST RECENT keyframes in order.
+    kf_idx = slam.keyframe_indices()
+    assert len(kf_idx) == 6
+    assert list(kf_idx) == sorted(kf_idx)
+    # Tracking is still alive at the end (no starvation).
+    assert int(slam.infos[-1].n_matches_total) >= 30
+    # Recent-window trajectory still accurate.
+    ate = ate_rmse(slam.poses(), long_seq.poses[kf_idx])
+    length = np.linalg.norm(
+        camera_centers(long_seq.poses[kf_idx])[-1]
+        - camera_centers(long_seq.poses[kf_idx])[0]
+    )
+    assert ate < 0.08 * max(length, 0.5), f"ATE {ate} vs window length {length}"
 
 
 def test_initialization_rejects_static_start():
