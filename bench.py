@@ -46,7 +46,7 @@ def main():
     t0 = time.time()
     seq = make_sequence(
         rng,
-        n_frames=64,
+        n_frames=112,
         cam=cam,
         n_sprites=260,
         step_t=np.array([0.05, 0.005, 0.10], np.float32),
@@ -63,28 +63,23 @@ def main():
         map_capacity=4096,
         max_observations=8,
     )
+    BATCH = 16
     slam = Slam(cam, ArraySource(seq.frames), cfg)
     t0 = time.time()
     assert slam.initialize(), "initialization failed"
     log(f"initialized in {time.time() - t0:.1f}s")
 
-    # Warmup: compile both branches (tracking + keyframe path).
-    warm = 0
+    # Warmup: compile the batched scan step (covers tracking + keyframe
+    # branches in one program).
     t0 = time.time()
-    while warm < 12:
-        info = slam.step()
-        if info is None:
-            break
-        warm += 1
+    warm = slam.run_batched(max_frames=BATCH, batch=BATCH)
+    jax.block_until_ready(slam.state)
     log(f"warmup {warm} steps in {time.time() - t0:.1f}s")
 
-    # Steady-state measurement. JAX dispatch is async: block on the device
-    # state at the end so we time compute, not enqueueing.
-    jax.block_until_ready(slam.state)
+    # Steady-state measurement: batched dispatch (one device program per
+    # BATCH frames — the deployment driver, Slam.run_batched).
     t0 = time.time()
-    n = 0
-    while (info := slam.step()) is not None:
-        n += 1
+    n = slam.run_batched(batch=BATCH)
     jax.block_until_ready(slam.state)
     dt = time.time() - t0
     fps = n / dt

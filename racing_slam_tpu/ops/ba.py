@@ -83,7 +83,7 @@ def huber_cost(sq_norm: jnp.ndarray, delta: float = HUBER_DELTA) -> jnp.ndarray:
     )
 
 
-def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     """Batched closed-form (adjugate) 3x3 inverse; [..., 3, 3]."""
     a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
@@ -339,7 +339,7 @@ def build_reduced_system(
 
     # Landmark elimination (only free points are eliminated/updated; frozen
     # points keep Hpp_inv = 0 so they contribute pure anchors via Hcc).
-    Hpp_inv = _inv3x3(Hpp_d) * prob.point_free[:, None, None]
+    Hpp_inv = inv3x3(Hpp_d) * prob.point_free[:, None, None]
 
     # S = blockdiag(Hcc_d) - sum_p Y_a Hpp_inv Y_b^T with per-point per-camera
     # aggregated coupling blocks Y[p, f] = sum_{o: cam=f} W[p, o].
@@ -448,7 +448,7 @@ def structure_ba(
 
         dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
         Hpp_d = Hpp + lam * dpp[..., :, None] * eye3 + 1e-9 * eye3
-        Hpp_inv = _inv3x3(Hpp_d) * prob.point_free[:, None, None]
+        Hpp_inv = inv3x3(Hpp_d) * prob.point_free[:, None, None]
 
         Z = jnp.einsum("pik,pkl->pil", Y, Hpp_inv)  # [P, 6, 3]
         S = (

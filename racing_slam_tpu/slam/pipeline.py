@@ -149,26 +149,34 @@ def _commit_keyframe(
 
     # Global BA: all previous keyframes frozen, the new one free, points free
     # (src/Slam.cpp:202-213 — only points observed by the free frame enter).
+    # The problem is COMPACTED to the <= K slots observed by the new keyframe
+    # (see MapState.ba_point_selection) so LM iterates over [Pc, O] tensors
+    # instead of the full map capacity.
     if cfg.bundle_adjust:
-        obs_uv = kfs.kp_xy[m.obs_kf, m.obs_kp]
-        point_in = m.observed_by(slot) & m.valid
+        K = feat.xy.shape[0]
+        P = m.valid.shape[0]
+        Pc = min(P, -(-K // 128) * 128)
+        sel, sel_ok = m.ba_point_selection(slot, Pc)
+        obs_kf = m.obs_kf[sel]
+        obs_kp = m.obs_kp[sel]
         prob = BAProblem(
             cam_rvec=kfs.rvec,
             cam_t=kfs.t,
-            points=m.pos,
-            obs_cam=m.obs_kf,
-            obs_uv=obs_uv,
-            obs_valid=m.obs_valid & m.valid[:, None],
+            points=m.pos[sel],
+            obs_cam=obs_kf,
+            obs_uv=kfs.kp_xy[obs_kf, obs_kp],
+            obs_valid=m.obs_valid[sel] & sel_ok[:, None],
             cam_free=jnp.arange(F) == slot,
             cam_in_problem=kfs.valid,
-            point_free=point_in,
-            point_in_problem=point_in,
+            point_free=sel_ok,
+            point_in_problem=sel_ok,
         )
         res = structure_ba(
             cam, prob, slot, max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
         )
         kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
-        m = m._replace(pos=res.points)
+        tgt = jnp.where(sel_ok, sel, P)
+        m = m._replace(pos=m.pos.at[tgt].set(res.points, mode="drop"))
         rvec = res.cam_rvec[slot]
         t = res.cam_t[slot]
 
@@ -185,6 +193,7 @@ def _commit_keyframe(
         last_kf_slot=slot,
         last_rvec=rvec,
         last_t=t,
+        obs_desc=m.observation_descriptors(kfs)[0],
     )
 
 
@@ -239,7 +248,8 @@ def slam_step(
     backend = cfg.matching_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    obs_desc, obs_dvalid = state.map.observation_descriptors(state.kfs)
+    obs_desc = state.obs_desc  # cached gather (see SlamState.obs_desc)
+    obs_dvalid = state.map.obs_valid & state.map.valid[:, None]
     no_kp_matched = jnp.zeros(feat.valid.shape, bool)
     no_pt_matched = jnp.zeros((P,), bool)
 
@@ -343,6 +353,55 @@ def slam_step(
     return state, info
 
 
+def _null_info(state: SlamState) -> StepInfo:
+    """StepInfo for a padded (inactive) scan slot; dtypes match slam_step's."""
+    z = jnp.int32(0)
+    return StepInfo(
+        rvec=state.last_rvec,
+        t=state.last_t,
+        n_matches_kf=z,
+        n_matches_total=z,
+        n_last_kf_matches=z,
+        is_keyframe=jnp.bool_(False),
+        n_points=z,
+        n_keyframes=state.num_kf,
+        reproj_error_px=jnp.float32(0.0),
+    )
+
+
+def slam_step_batch(
+    state: SlamState,
+    imgs: jnp.ndarray,  # [N, H, W] uint8 (or float32)
+    keys: jax.Array,  # [N] PRNG keys
+    active: jnp.ndarray,  # [N] bool — False for EOF padding slots
+    mask: jnp.ndarray | None,
+    *,
+    cam: Camera,
+    cfg: SlamConfig,
+    frontend: ClassicalFrontend,
+) -> tuple[SlamState, StepInfo]:
+    """N tracking steps in ONE device program (lax.scan over frames).
+
+    The reference steps strictly one frame per host iteration
+    (src/main.cpp:72-111); on TPU each dispatch costs host->device round-trip
+    latency (tens of ms over a remote-chip link), so the host loop feeds the
+    device a whole decoded frame batch and the sequential recurrence runs
+    on-device. Padding slots (active=False) leave the state untouched, so a
+    final partial batch reuses the same compiled program.
+    """
+
+    def body(st, xs):
+        img, key, act = xs
+        return jax.lax.cond(
+            act,
+            lambda s: slam_step(s, img, key, mask, cam=cam, cfg=cfg, frontend=frontend),
+            lambda s: (s, _null_info(s)),
+            st,
+        )
+
+    return jax.lax.scan(body, state, (imgs, keys, active))
+
+
 # ---------------------------------------------------------------------------
 # Two-view bootstrap (src/Slam.cpp:32-87, src/Init.cpp:8-63)
 # ---------------------------------------------------------------------------
@@ -436,26 +495,31 @@ def commit_initialization(
         kfs,
     )
 
-    # BA: ref fixed, query free, points free (src/Slam.cpp:63-68).
-    obs_uv = kfs.kp_xy[m.obs_kf, m.obs_kp]
-    point_in = m.valid
+    # BA: ref fixed, query free, points free (src/Slam.cpp:63-68), compacted
+    # to the <= K slots the bootstrap just created.
+    P = m.valid.shape[0]
+    Pc = min(P, -(-K // 128) * 128)
+    sel, sel_ok = m.ba_point_selection(jnp.int32(1), Pc)
+    obs_kf = m.obs_kf[sel]
+    obs_kp = m.obs_kp[sel]
     prob = BAProblem(
         cam_rvec=kfs.rvec,
         cam_t=kfs.t,
-        points=m.pos,
-        obs_cam=m.obs_kf,
-        obs_uv=obs_uv,
-        obs_valid=m.obs_valid & m.valid[:, None],
+        points=m.pos[sel],
+        obs_cam=obs_kf,
+        obs_uv=kfs.kp_xy[obs_kf, obs_kp],
+        obs_valid=m.obs_valid[sel] & sel_ok[:, None],
         cam_free=jnp.arange(F) == 1,
         cam_in_problem=kfs.valid,
-        point_free=point_in,
-        point_in_problem=point_in,
+        point_free=sel_ok,
+        point_in_problem=sel_ok,
     )
     res = structure_ba(
         cam, prob, jnp.int32(1), max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
     )
     kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
-    m = m._replace(pos=res.points)
+    tgt = jnp.where(sel_ok, sel, P)
+    m = m._replace(pos=m.pos.at[tgt].set(res.points, mode="drop"))
 
     # Rescale to unit baseline (src/Slam.cpp:70-80).
     scale = 1.0 / (jnp.linalg.norm(kfs.t[1] - kfs.t[0]) + 1e-12)
@@ -472,6 +536,7 @@ def commit_initialization(
         last_feat=query_feat,
         last_matches=kfs.matches[1],
         frame_count=query_index.astype(jnp.int32) + 1,
+        obs_desc=m.observation_descriptors(kfs)[0],
     )
 
 
@@ -523,6 +588,9 @@ class Slam:
         self._extract = jax.jit(_extract_u8)
         self._step = jax.jit(
             partial(slam_step, cam=cam, cfg=config, frontend=self.frontend)
+        )
+        self._step_batch = jax.jit(
+            partial(slam_step_batch, cam=cam, cfg=config, frontend=self.frontend)
         )
         self._try_init = jax.jit(
             partial(
@@ -676,6 +744,99 @@ class Slam:
                 break
             n += 1
         return self.infos
+
+    # -- batched stepping (remote-chip dispatch amortization) ----------------
+    def _decode_batch(self, n: int) -> list[np.ndarray]:
+        frames = []
+        while len(frames) < n:
+            try:
+                img = next(self.video)
+            except StopIteration:
+                break
+            img = np.asarray(img)
+            if img.dtype != np.uint8:
+                img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            frames.append(img)
+            self._frame_idx += 1
+        return frames
+
+    def run_batched(self, max_frames: int | None = None, batch: int = 16) -> int:
+        """Process the stream in N-frame device dispatches (slam_step_batch).
+
+        Each dispatch costs one host->device round trip regardless of N, so
+        this is the high-throughput driver; per-frame StepInfos accumulate as
+        stacked device arrays in self.batch_infos (read them after the run —
+        mid-run readback would stall the async pipeline). Tracking-loss
+        recovery samples the previous batch's match counts every
+        `lost_check_interval` batches (detection lags by design; see
+        SlamConfig). Returns the number of frames processed.
+        """
+        assert self._prefetched is None, "do not mix step() and run_batched()"
+        self.batch_infos: list[StepInfo] = []
+        total = 0
+        batches_since_check = 0
+        prev_infos: StepInfo | None = None
+        prev_n = 0
+        while max_frames is None or total < max_frames:
+            want = batch if max_frames is None else min(batch, max_frames - total)
+            frames = self._decode_batch(want)
+            if not frames:
+                break
+            n = len(frames)
+            if n < batch:
+                frames = frames + [frames[-1]] * (batch - n)
+            imgs = jax.device_put(np.stack(frames))
+            keys = jax.random.split(self._subkey(), batch)
+            active = jnp.asarray(np.arange(batch) < n)
+            self.state, infos = self._step_batch(
+                self.state, imgs, keys, active, self._mask
+            )
+            self.batch_infos.append(infos)
+            total += n
+            if not self.cfg.reinit_on_lost:
+                continue
+            batches_since_check += 1
+            if batches_since_check >= max(1, self.cfg.lost_check_interval):
+                batches_since_check = 0
+                # Read the PREVIOUS batch's counts: it has finished while this
+                # batch was dispatched, so the transfer does not stall.
+                if prev_infos is not None and not self._check_batch(
+                    prev_infos, prev_n
+                ):
+                    prev_infos, prev_n = None, 0
+                    continue
+                prev_infos, prev_n = infos, n
+        return total
+
+    def _check_batch(self, infos: StepInfo, n: int) -> bool:
+        """Loss detection over a completed batch's stacked infos. Returns
+        False when tracking was declared lost and a re-bootstrap ran."""
+        counts = np.asarray(infos.n_matches_total)[:n]
+        lost_run = 0
+        for c in counts:
+            lost_run = lost_run + 1 if c < self.cfg.min_track_matches else 0
+        if lost_run < self.cfg.lost_patience:
+            return True
+        self._lost_streak = 0
+        self.segments.append(
+            dict(
+                poses=self.poses(),
+                frame_indices=self.keyframe_indices(),
+                points=self.points(),
+            )
+        )
+        K = self.state.last_feat.xy.shape[0]
+        self.state = SlamState.create(
+            F=self.cfg.max_keyframes,
+            P=self.cfg.map_capacity,
+            O=self.cfg.max_observations,
+            K=K,
+            D=self.frontend.descriptor_dim,
+        )
+        self.n_reinits += 1
+        self.initialize()
+        self._prefetched = None
+        return False
 
     # -- accessors (reference: Slam::map/poses/reprojection_error) ----------
     def _kf_slots(self) -> np.ndarray:

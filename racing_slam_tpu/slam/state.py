@@ -101,6 +101,21 @@ class MapState(NamedTuple):
         d = kfs.desc[self.obs_kf, self.obs_kp]  # [P, O, D]
         return d, self.obs_valid & self.valid[:, None]
 
+    def ba_point_selection(self, kf_slot, budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Compact the BA point set: slots observed by `kf_slot` first.
+
+        The per-keyframe global BA only optimizes points observed by the free
+        frame (src/Optimization.cpp:105-120) — at most K of the P capacity
+        slots (each keypoint matches or seeds at most one point). Gathering
+        them into a [budget] problem shrinks every [P, O, ...] tensor of the
+        LM loop, the dominant cost of the whole tracking step on TPU.
+        Returns (sel [budget] i32 map slots, sel_ok [budget] bool).
+        """
+        point_in = self.observed_by(kf_slot) & self.valid
+        order = jnp.argsort(~point_in)  # in-problem slots first (stable)
+        sel = order[:budget].astype(jnp.int32)
+        return sel, point_in[sel]
+
 
 class SlamState(NamedTuple):
     kfs: KeyframeStore
@@ -113,6 +128,12 @@ class SlamState(NamedTuple):
     last_feat: Features
     last_matches: jnp.ndarray  # [K] i32 map slot per keypoint of last frame
     frame_count: jnp.ndarray  # i32 — frames processed so far
+    # Cached gather of kfs.desc[map.obs_kf, map.obs_kp] ([P, O, D]). The
+    # matcher needs it EVERY frame, but its inputs only change at keyframe
+    # commits — caching turns a per-frame multi-MB gather into a per-commit
+    # one. Refreshed at the end of _commit_keyframe / commit_initialization;
+    # validity is always derived fresh from obs_valid & valid.
+    obs_desc: jnp.ndarray  # [P, O, D]
 
     @staticmethod
     def create(F: int, P: int, O: int, K: int, D: int) -> "SlamState":
@@ -131,6 +152,7 @@ class SlamState(NamedTuple):
             ),
             last_matches=jnp.full((K,), NO_MATCH),
             frame_count=jnp.int32(0),
+            obs_desc=jnp.zeros((P, O, D)),
         )
 
 

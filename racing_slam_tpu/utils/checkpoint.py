@@ -41,6 +41,7 @@ def load_state(path: str | Path) -> SlamState:
             last_feat=Features(0, 0, 0, 0),
             last_matches=0,
             frame_count=0,
+            obs_desc=0,
         )
     )
     return jax.tree_util.tree_unflatten(

@@ -169,6 +169,46 @@ def test_keyframe_eviction_keeps_tracking():
     assert ate < 0.08 * max(length, 0.5), f"ATE {ate} vs window length {length}"
 
 
+def test_run_batched_matches_per_frame_stepping(seq):
+    """slam_step_batch (lax.scan over N frames per dispatch) must produce the
+    same state trajectory as per-frame stepping — including a final partial
+    batch handled via inactive padding slots."""
+    cfg = SlamConfig(
+        triangulate_points=True,
+        bundle_adjust=True,
+        optimize_pose=True,
+        cull_points=True,
+        max_keyframes=16,
+        map_capacity=2048,
+        reinit_on_lost=False,
+    )
+    a = Slam(seq.cam, ArraySource(seq.frames), cfg)
+    assert a.initialize()
+    a.run()
+    b = Slam(seq.cam, ArraySource(seq.frames), cfg)
+    assert b.initialize()
+    # 16 frames, 2 consumed by init -> 14 = 3 batches of 5 w/ padded tail.
+    n = b.run_batched(batch=5)
+    assert n == len(a.infos)
+    # Same trajectory up to compile-variant rounding (the scan program fuses
+    # differently from the single-step program; LM amplifies ulp differences
+    # along the sequence).
+    np.testing.assert_allclose(a.poses(), b.poses(), atol=5e-3)
+    assert int(a.state.map.num_points()) == int(b.state.map.num_points())
+    assert list(a.keyframe_indices()) == list(b.keyframe_indices())
+    # Stacked per-frame infos agree with the per-frame ones.
+    import jax
+
+    flat = [
+        jax.tree.map(lambda x, i=i: x[i], binfos)
+        for binfos in b.batch_infos
+        for i in range(5)
+    ][:n]
+    for ia, ib in zip(a.infos, flat):
+        assert int(ia.n_matches_total) == int(ib.n_matches_total)
+        assert bool(ia.is_keyframe) == bool(ib.is_keyframe)
+
+
 def test_initialization_rejects_static_start():
     """Frames with no baseline must not initialize on the first pairs; the
     initializer keeps consuming frames (ref-chance logic, src/Init.cpp:31-37)
