@@ -248,31 +248,135 @@ def residual_and_jacobians(rv, tt, X, uv, fx, cx, cy):
     Returns r [..., 2], J_c [..., 2, 6] (d r / d[rvec, t]), J_p [..., 2, 3].
     Exactly matches jacfwd of _residual_packed (verified in tests) at ~1/6
     the FLOPs — this is the hot inner loop of every LM iteration.
+
+    TPU note: everything is hand-expanded to scalar arithmetic on [...]
+    component vectors. The mathematically identical matrix formulation
+    (R @ hat(X) @ J_r chains over [..., 3, 3]) lowers to batched 3x3
+    dot_generals, which profiled as ~40% of the whole tracking step — tiny
+    contraction dims waste the MXU and the stacked intermediates thrash HBM.
+    The scalar form is pure fused VPU work.
     """
-    R = se3.exp_so3(rv)  # [..., 3, 3]
-    p = jnp.einsum("...ij,...j->...i", R, X) + tt
-    z = p[..., 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    wx, wy, wz = rv[..., 0], rv[..., 1], rv[..., 2]
+    Xx, Xy, Xz = X[..., 0], X[..., 1], X[..., 2]
+    theta2 = wx * wx + wy * wy + wz * wz
+    theta = jnp.sqrt(theta2 + 1e-24)
+    small = theta2 < 1e-8
+    safe1 = jnp.where(small, 1.0, theta)
+    safe2 = jnp.where(small, 1.0, theta2)
+    # Rodrigues coefficients: R = I + a W + b W^2.
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / safe1)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
+    # Right-Jacobian coefficients: J_r = I - A W + B W^2 (see
+    # right_jacobian_so3; d(exp(v) X)/dv = -exp(v) [X]x J_r(v)).
+    A = b
+    B = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (safe2 * safe1)
+    )
+
+    R00 = 1.0 - b * (wy * wy + wz * wz)
+    R01 = b * wx * wy - a * wz
+    R02 = b * wx * wz + a * wy
+    R10 = b * wx * wy + a * wz
+    R11 = 1.0 - b * (wx * wx + wz * wz)
+    R12 = b * wy * wz - a * wx
+    R20 = b * wx * wz - a * wy
+    R21 = b * wy * wz + a * wx
+    R22 = 1.0 - b * (wx * wx + wy * wy)
+
+    px = R00 * Xx + R01 * Xy + R02 * Xz + tt[..., 0]
+    py = R10 * Xx + R11 * Xy + R12 * Xz + tt[..., 1]
+    pz = R20 * Xx + R21 * Xy + R22 * Xz + tt[..., 2]
+    z_safe = jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
     inv_z = 1.0 / z_safe
+    gx = px * inv_z
+    gy = py * inv_z
     nx = (uv[..., 0] - cx) / fx
     ny = (uv[..., 1] - cy) / fx
-    r = jnp.stack([p[..., 0] * inv_z - nx, p[..., 1] * inv_z - ny], axis=-1)
+    r = jnp.stack([gx - nx, gy - ny], axis=-1)
 
-    # d r / d p_cam: [[1/z, 0, -x/z^2], [0, 1/z, -y/z^2]]
+    # M = R [X]x  (hat(X) columns expanded).
+    M00 = R01 * Xz - R02 * Xy
+    M01 = R02 * Xx - R00 * Xz
+    M02 = R00 * Xy - R01 * Xx
+    M10 = R11 * Xz - R12 * Xy
+    M11 = R12 * Xx - R10 * Xz
+    M12 = R10 * Xy - R11 * Xx
+    M20 = R21 * Xz - R22 * Xy
+    M21 = R22 * Xx - R20 * Xz
+    M22 = R20 * Xy - R21 * Xx
+
+    Jr00 = 1.0 - B * (wy * wy + wz * wz)
+    Jr01 = A * wz + B * wx * wy
+    Jr02 = -A * wy + B * wx * wz
+    Jr10 = -A * wz + B * wx * wy
+    Jr11 = 1.0 - B * (wx * wx + wz * wz)
+    Jr12 = A * wx + B * wy * wz
+    Jr20 = A * wy + B * wx * wz
+    Jr21 = -A * wx + B * wy * wz
+    Jr22 = 1.0 - B * (wx * wx + wy * wy)
+
+    # dpdv = -M J_r  (d p_cam / d rvec).
+    D00 = -(M00 * Jr00 + M01 * Jr10 + M02 * Jr20)
+    D01 = -(M00 * Jr01 + M01 * Jr11 + M02 * Jr21)
+    D02 = -(M00 * Jr02 + M01 * Jr12 + M02 * Jr22)
+    D10 = -(M10 * Jr00 + M11 * Jr10 + M12 * Jr20)
+    D11 = -(M10 * Jr01 + M11 * Jr11 + M12 * Jr21)
+    D12 = -(M10 * Jr02 + M11 * Jr12 + M12 * Jr22)
+    D20 = -(M20 * Jr00 + M21 * Jr10 + M22 * Jr20)
+    D21 = -(M20 * Jr01 + M21 * Jr11 + M22 * Jr21)
+    D22 = -(M20 * Jr02 + M21 * Jr12 + M22 * Jr22)
+
+    # Rows of d r / d p_cam are [1, 0, -gx]/z and [0, 1, -gy]/z, so every
+    # J block row j is inv_z * (row0_j - g * row2_j).
     zero = jnp.zeros_like(inv_z)
-    drdp = jnp.stack(
+    J_c = jnp.stack(
         [
-            jnp.stack([inv_z, zero, -p[..., 0] * inv_z * inv_z], axis=-1),
-            jnp.stack([zero, inv_z, -p[..., 1] * inv_z * inv_z], axis=-1),
+            jnp.stack(
+                [
+                    inv_z * (D00 - gx * D20),
+                    inv_z * (D01 - gx * D21),
+                    inv_z * (D02 - gx * D22),
+                    inv_z,
+                    zero,
+                    -gx * inv_z,
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    inv_z * (D10 - gy * D20),
+                    inv_z * (D11 - gy * D21),
+                    inv_z * (D12 - gy * D22),
+                    zero,
+                    inv_z,
+                    -gy * inv_z,
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )  # [..., 2, 6]
+    J_p = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    inv_z * (R00 - gx * R20),
+                    inv_z * (R01 - gx * R21),
+                    inv_z * (R02 - gx * R22),
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    inv_z * (R10 - gy * R20),
+                    inv_z * (R11 - gy * R21),
+                    inv_z * (R12 - gy * R22),
+                ],
+                axis=-1,
+            ),
         ],
         axis=-2,
     )  # [..., 2, 3]
-
-    dpdv = -(R @ se3.hat(X)) @ right_jacobian_so3(rv)  # [..., 3, 3]
-    J_rot = drdp @ dpdv  # [..., 2, 3]
-    J_t = drdp  # d p / d t = I
-    J_c = jnp.concatenate([J_rot, J_t], axis=-1)  # [..., 2, 6]
-    J_p = drdp @ R  # [..., 2, 3]
     return r, J_c, J_p
 
 

@@ -224,7 +224,10 @@ def test_analytic_jacobians_match_autodiff(rng):
     r_ref = res_fn(p9, uv)
     J_ref = jac_fn(p9, uv)
 
-    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-6)
+    # rtol: the scalar-expanded formulation associates f32 products in a
+    # different order than autodiff of the matrix form.
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                               atol=1e-6, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(Jc), np.asarray(J_ref[..., :6]),
                                atol=5e-5, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(Jp), np.asarray(J_ref[..., 6:]),
