@@ -42,6 +42,11 @@ from .precision import f32_precision
 
 HUBER_DELTA = float(jnp.sqrt(5.991))  # Optimization.cpp:136
 MAX_ITERS = 10  # Optimization.cpp:153
+# Ceres Solver::Options::function_tolerance default — LM stops once an
+# accepted step improves the cost by less than this fraction. The reference
+# relies on it implicitly (it never overrides the default); on TPU it turns
+# the fixed 10-iteration scan into a while_loop that typically exits in 3-5.
+FUNCTION_TOLERANCE = 1e-6
 
 # NOTE on robust scale: the reference applies HuberLoss(sqrt(5.991)) to a
 # residual expressed in NORMALIZED-plane units (pixels / fx), so the loss
@@ -152,8 +157,12 @@ def motion_ba(
         s = jnp.sum(r * r, axis=-1)
         return jnp.sum(jnp.where(valid, huber_cost(s, huber_delta), 0.0))
 
-    def step(state, _):
-        rv, tt, lam, cost = state
+    def cond_fn(state):
+        _, _, _, _, it, done = state
+        return (it < max_iters) & ~done
+
+    def body(state):
+        rv, tt, lam, cost, it, _ = state
         r, J, _ = terms(rv, tt)  # [K, 2], [K, 2, 6]
         s = jnp.sum(r * r, axis=-1)
         w = jnp.where(valid, huber_weight(s, huber_delta), 0.0)  # [K]
@@ -166,15 +175,22 @@ def motion_ba(
         tt_new = tt + delta[3:]
         new_cost = robust_cost(rv_new, tt_new)
         accept = new_cost < cost
+        # Ceres function_tolerance: an accepted step that barely improves
+        # means converged; a damping blow-up means stuck.
+        done = (accept & (cost - new_cost <= FUNCTION_TOLERANCE * cost)) | (
+            lam > 1e8
+        )
         rv = jnp.where(accept, rv_new, rv)
         tt = jnp.where(accept, tt_new, tt)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 2.0)
         cost = jnp.where(accept, new_cost, cost)
-        return (rv, tt, lam, cost), None
+        return (rv, tt, lam, cost, it + 1, done)
 
     cost0 = robust_cost(rvec, t)
-    (rv, tt, _, cost), _ = jax.lax.scan(
-        step, (rvec, t, jnp.float32(1e-4), cost0), None, length=max_iters
+    rv, tt, _, cost, _, _ = jax.lax.while_loop(
+        cond_fn,
+        body,
+        (rvec, t, jnp.float32(1e-4), cost0, jnp.int32(0), jnp.bool_(False)),
     )
     return MotionBAResult(rvec=rv, t=tt, cost=cost, num_residuals=n_res)
 
@@ -532,8 +548,11 @@ def structure_ba(
         & prob.point_in_problem[:, None]
     )
 
-    def step(state, _):
-        cam_rvec, cam_t, points, lam, cost = state
+    def cond_fn(state):
+        return (state[5] < max_iters) & ~state[6]
+
+    def body(state):
+        cam_rvec, cam_t, points, lam, cost, it, _ = state
         cur = prob._replace(cam_rvec=cam_rvec, cam_t=cam_t, points=points)
         r, s, w, Jc, Jp, include, safe_cam = _obs_terms(cam, cur, huber_delta)
         free_obs = (safe_cam == free_slot).astype(w.dtype) * w  # [P, O]
@@ -582,17 +601,28 @@ def structure_ba(
             huber_delta,
         )
         accept = new_cost < cost
+        done = (accept & (cost - new_cost <= FUNCTION_TOLERANCE * cost)) | (
+            lam > 1e8
+        )
         cam_rvec = jnp.where(accept, cam_rvec_new, cam_rvec)
         cam_t = jnp.where(accept, cam_t_new, cam_t)
         points = jnp.where(accept, points_new, points)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 2.5)
         cost = jnp.where(accept, new_cost, cost)
-        return (cam_rvec, cam_t, points, lam, cost), None
+        return (cam_rvec, cam_t, points, lam, cost, it + 1, done)
 
     cost0 = _problem_cost(cam, prob, huber_delta)
-    init = (prob.cam_rvec, prob.cam_t, prob.points, jnp.float32(init_lambda), cost0)
-    (cam_rvec, cam_t, points, _, cost), _ = jax.lax.scan(
-        step, init, None, length=max_iters
+    init = (
+        prob.cam_rvec,
+        prob.cam_t,
+        prob.points,
+        jnp.float32(init_lambda),
+        cost0,
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    cam_rvec, cam_t, points, _, cost, _, _ = jax.lax.while_loop(
+        cond_fn, body, init
     )
     return BAResult(
         cam_rvec=cam_rvec, cam_t=cam_t, points=points, cost=cost, num_residuals=n_res
@@ -620,8 +650,11 @@ def full_ba(
         & prob.point_in_problem[:, None]
     )
 
-    def step(state, _):
-        cam_rvec, cam_t, points, lam, cost = state
+    def cond_fn(state):
+        return (state[5] < max_iters) & ~state[6]
+
+    def body(state):
+        cam_rvec, cam_t, points, lam, cost, it, _ = state
         cur = prob._replace(cam_rvec=cam_rvec, cam_t=cam_t, points=points)
         rs, _ = build_reduced_system(cam, cur, lam, huber_delta)
         delta_c = solve_camera_system(rs.S, rs.g_red, prob.cam_free)
@@ -640,17 +673,28 @@ def full_ba(
             huber_delta,
         )
         accept = new_cost < cost
+        done = (accept & (cost - new_cost <= FUNCTION_TOLERANCE * cost)) | (
+            lam > 1e8
+        )
         cam_rvec = jnp.where(accept, cam_rvec_new, cam_rvec)
         cam_t = jnp.where(accept, cam_t_new, cam_t)
         points = jnp.where(accept, points_new, points)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 2.5)
         cost = jnp.where(accept, new_cost, cost)
-        return (cam_rvec, cam_t, points, lam, cost), None
+        return (cam_rvec, cam_t, points, lam, cost, it + 1, done)
 
     cost0 = _problem_cost(cam, prob, huber_delta)
-    init = (prob.cam_rvec, prob.cam_t, prob.points, jnp.float32(init_lambda), cost0)
-    (cam_rvec, cam_t, points, _, cost), _ = jax.lax.scan(
-        step, init, None, length=max_iters
+    init = (
+        prob.cam_rvec,
+        prob.cam_t,
+        prob.points,
+        jnp.float32(init_lambda),
+        cost0,
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    cam_rvec, cam_t, points, _, cost, _, _ = jax.lax.while_loop(
+        cond_fn, body, init
     )
     return BAResult(
         cam_rvec=cam_rvec, cam_t=cam_t, points=points, cost=cost, num_residuals=n_res

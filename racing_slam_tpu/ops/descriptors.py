@@ -107,10 +107,108 @@ def extract_descriptors(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     Cx = interp_matrix(x, ox)  # [K, S, T]
     rows = jnp.einsum("kiy,kyx->kix", Ry, patches)  # [K, S, T]
     sampled = jnp.einsum("kix,kjx->kij", rows, Cx)  # [K, S(y), S(x)]
-    # Flatten in (dy-major, dx-minor) order, matching _OFFSETS/meshgrid.
-    patches_flat = sampled.reshape(K, S * S)
+    return _finalize(sampled.reshape(K, S * S))
+
+
+def _finalize(patches_flat: jnp.ndarray) -> jnp.ndarray:
+    """Normalize flat patches and project to D: [K, S^2] -> [K, D] unit."""
     mean = jnp.mean(patches_flat, axis=-1, keepdims=True)
     std = jnp.std(patches_flat, axis=-1, keepdims=True) + 1e-6
     normed = (patches_flat - mean) / std
     desc = normed @ jnp.asarray(_PROJ)  # [K, D]
     return desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+
+
+# Margin of the static per-cell window. A keypoint sits anywhere in its
+# cell [0, cell) and its sampling grid spans +-(PATCH_SIZE-1)/2 * SPACING
+# = +-11.25 px (+1 for bilinear), so window = [-MARGIN, cell + MARGIN).
+CELL_MARGIN = 16
+
+
+@f32_precision
+def extract_descriptors_cells(
+    img: jnp.ndarray, xy: jnp.ndarray, cell: int, n_per_cell: int
+) -> jnp.ndarray:
+    """Descriptors for GRID-ORDERED keypoints without per-keypoint gathers.
+
+    `xy` must follow detect_corners' layout: K = n_per_cell * gh * gw with
+    keypoint i belonging to cell (i % (gh * gw)). Each cell's fixed
+    (cell + 2*MARGIN)^2 window is assembled from 3x3 shifted STATIC slices of
+    the padded image — pure dense copies — so the per-keypoint work reduces
+    to the two separable interpolation matmuls. The vmapped dynamic_slice
+    formulation this replaces (extract_descriptors) profiled as the largest
+    single op of the tracking step (a [K, T, T] random gather every frame).
+
+    Requires cell >= 9 and CELL_MARGIN <= cell (margin = one neighbor tile).
+    """
+    H, W = img.shape
+    S = PATCH_SIZE
+    M = CELL_MARGIN
+    assert M <= cell, "CELL_MARGIN must fit in one neighboring tile"
+    T = cell + 2 * M
+    blurred = gaussian_blur(img, BLUR_SIGMA)
+
+    gh = -(-H // cell)
+    gw = -(-W // cell)
+    K = xy.shape[0]
+    assert K == n_per_cell * gh * gw, "xy must be grid-ordered"
+
+    # Pad to the tile grid plus one margin tile on every side (edge padding
+    # approximates the clamped-window behavior of the gather path at image
+    # borders; border keypoints are suppressed upstream anyway). The extra
+    # trailing `cell` keeps every strided chunk view below in bounds.
+    Hp = gh * cell
+    Wp = gw * cell
+    padded = jnp.pad(
+        blurred, ((M, Hp - H + M + cell), (M, Wp - W + M + cell)), mode="edge"
+    )
+
+    # Window of cell (cy, cx) spans padded[cy*cell : cy*cell + T, ...].
+    # Decompose the window's row range [0, T) into chunks [0, M), [M, M+cell),
+    # [M+cell, T). For a fixed chunk (start, size), the rows of ALL windows
+    # form one strided view of the padded image: padded[start : start +
+    # gh*cell] reshaped to [gh, cell, ...] and cropped to size — a static
+    # dense copy, no gather. Same along columns; concatenating the 3x3
+    # chunk grid rebuilds every window.
+    row_chunks = [(0, M), (M, cell), (M + cell, M)]
+    col_chunks = [(0, M), (M, cell), (M + cell, M)]
+    rows_built = []
+    for rs, rn in row_chunks:
+        cols_built = []
+        for cs, cn in col_chunks:
+            block = padded[rs : rs + gh * cell, cs : cs + gw * cell]
+            # -> [gh, rn, gw, cn] by striding cell in both dims then cropping
+            block = block.reshape(gh, cell, gw, cell)[:, :rn, :, :cn]
+            cols_built.append(block)
+        rows_built.append(jnp.concatenate(cols_built, axis=-1))  # [gh,rn,gw,T]
+    windows = jnp.concatenate(rows_built, axis=1)  # [gh, T, gw, T]
+    windows = windows.transpose(0, 2, 1, 3).reshape(gh * gw, T, T)
+
+    r = (S - 1) / 2.0
+    lin = jnp.asarray((np.arange(S) - r) * PATCH_SPACING, jnp.float32)  # [S]
+    C = gh * gw
+    # Cell origins (static, cell-major layout).
+    ids = np.arange(C)
+    origin_x = jnp.asarray((ids % gw) * cell - M, jnp.float32)  # [C]
+    origin_y = jnp.asarray((ids // gw) * cell - M, jnp.float32)
+
+    def interp(coord, origin):
+        """[C] coord, [C] window origin -> [C, S, T] bilinear weights."""
+        s = coord[:, None] + lin[None, :] - origin[:, None]
+        s = jnp.clip(s, 0.0, T - 1.001)
+        s0 = jnp.floor(s)
+        f = (s - s0)[..., None]
+        s0i = s0.astype(jnp.int32)[..., None]
+        cols = jnp.arange(T, dtype=jnp.int32)
+        return (cols == s0i) * (1.0 - f) + (cols == s0i + 1) * f
+
+    outs = []
+    for g in range(n_per_cell):
+        gx = xy[g * C : (g + 1) * C, 0]
+        gy = xy[g * C : (g + 1) * C, 1]
+        Ry = interp(gy, origin_y)  # [C, S, T]
+        Cx = interp(gx, origin_x)
+        rows2 = jnp.einsum("kiy,kyx->kix", Ry, windows)  # [C, S, T]
+        sampled = jnp.einsum("kix,kjx->kij", rows2, Cx)  # [C, S, S]
+        outs.append(sampled.reshape(C, S * S))
+    return _finalize(jnp.concatenate(outs, axis=0))

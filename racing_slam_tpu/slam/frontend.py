@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.corners import detect_corners
-from ..ops.descriptors import MAX_DISTANCE, extract_descriptors
+from ..ops.descriptors import MAX_DISTANCE, extract_descriptors_cells
 from .state import Features
 
 
@@ -44,5 +44,6 @@ class ClassicalFrontend:
         c = detect_corners(
             img, mask=mask, cell=self.cell, n_per_cell=self.n_per_cell
         )
-        d = extract_descriptors(img, c.xy)
+        # Cell-ordered keypoints -> gather-free descriptor extraction.
+        d = extract_descriptors_cells(img, c.xy, self.cell, self.n_per_cell)
         return Features(xy=c.xy, desc=d, valid=c.valid, score=c.score)

@@ -83,3 +83,25 @@ def test_match_frames_cross_check_rejects_unrelated(rng):
     n1 = int(np.asarray(c1.valid).sum())
     # Unrelated images: far fewer surviving matches than real overlap.
     assert np.asarray(m.valid).sum() < 0.25 * n1
+
+
+def test_cell_descriptor_extraction_matches_gather_path(rng):
+    """extract_descriptors_cells (static-window path used by the pipeline)
+    must agree with the per-keypoint gather formulation away from image
+    borders (edge padding differs from window clamping only there)."""
+    from racing_slam_tpu.ops.descriptors import extract_descriptors_cells
+
+    img = random_texture(240, 320, rng)
+    j = jnp.asarray(img)
+    c = detect_corners(j, cell=16, n_per_cell=2)
+    d_gather = np.asarray(extract_descriptors(j, c.xy))
+    d_cells = np.asarray(extract_descriptors_cells(j, c.xy, 16, 2))
+    xy = np.asarray(c.xy)
+    interior = (
+        (xy[:, 0] > 20) & (xy[:, 0] < 300) & (xy[:, 1] > 20) & (xy[:, 1] < 220)
+        & np.asarray(c.valid)
+    )
+    assert interior.sum() > 100
+    np.testing.assert_allclose(
+        d_cells[interior], d_gather[interior], atol=2e-3
+    )
