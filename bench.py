@@ -63,28 +63,48 @@ def main():
         map_capacity=4096,
         max_observations=8,
     )
-    BATCH = 16
+    # Dispatch granularity: one device program per BATCH frames. Over the
+    # remote-chip tunnel each dispatch costs tens of ms of latency, so a
+    # larger batch amortizes it; 48 measured best (beyond that, decode+upload
+    # stops overlapping with compute).
+    BATCH = 48
     slam = Slam(cam, ArraySource(seq.frames), cfg)
     t0 = time.time()
     assert slam.initialize(), "initialization failed"
     log(f"initialized in {time.time() - t0:.1f}s")
 
-    # Warmup: compile the batched scan step (covers tracking + keyframe
-    # branches in one program).
+    # Warmup pass: run the WHOLE sequence once so every program (full and
+    # padded final batch, keyframe + tracking branches) is compiled.
     t0 = time.time()
-    warm = slam.run_batched(max_frames=BATCH, batch=BATCH)
+    warm = slam.run_batched(batch=BATCH)
     jax.block_until_ready(slam.state)
-    log(f"warmup {warm} steps in {time.time() - t0:.1f}s")
+    log(f"warmup: {warm} steps in {time.time() - t0:.1f}s")
 
-    # Steady-state measurement: batched dispatch (one device program per
-    # BATCH frames — the deployment driver, Slam.run_batched).
+    # Measured pass: reset world state and replay the SAME full sequence with
+    # everything compiled — initialization + tracking, batched dispatch (the
+    # deployment driver, Slam.run_batched). This measures a fixed workload
+    # (112 frames from bootstrap) rather than whatever suffix warmup left.
+    from racing_slam_tpu.slam.state import SlamState
+
+    K = slam.frontend.num_keypoints(cam.height, cam.width)
+    slam.state = SlamState.create(
+        F=cfg.max_keyframes, P=cfg.map_capacity, O=cfg.max_observations,
+        K=K, D=slam.frontend.descriptor_dim,
+    )
+    slam.video = iter(ArraySource(seq.frames))
+    slam._frame_idx = 0
+    slam._prefetched = None
+    t0 = time.time()
+    assert slam.initialize(), "re-initialization failed"
+    t_init = time.time() - t0
     t0 = time.time()
     n = slam.run_batched(batch=BATCH)
     jax.block_until_ready(slam.state)
     dt = time.time() - t0
     fps = n / dt
     log(
-        f"steady: {n} frames in {dt:.2f}s -> {fps:.2f} fps; "
+        f"measured: {n} frames in {dt:.2f}s -> {fps:.2f} fps "
+        f"(+{t_init:.2f}s bootstrap); "
         f"kf={int(slam.state.num_kf)} pts={int(slam.state.map.num_points())} "
         f"reproj={slam.reprojection_error():.2f}px"
     )

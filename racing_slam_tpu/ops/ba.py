@@ -109,6 +109,35 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
+def solve6_spd(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve the (damped, SPD) 6x6 system H x = g in closed form.
+
+    jnp.linalg.solve lowers a 6x6 LU with pivoting to a long serial scalar
+    chain — it profiled as a visible slice of every LM iteration of the
+    motion/structure solvers. Block elimination with two closed-form 3x3
+    inverses is a short straight-line program instead:
+        H = [[A, B], [B^T, C]],  S = C - B^T A^-1 B
+        x2 = S^-1 (g2 - B^T A^-1 g1),  x1 = A^-1 (g1 - B x2).
+    Valid because LM damping keeps H (and hence A and S) positive definite.
+    Batched over leading dims.
+    """
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    C = H[..., 3:, 3:]
+    g1 = g[..., :3]
+    g2 = g[..., 3:]
+    Ainv = inv3x3(A)
+    AinvB = Ainv @ B  # [..., 3, 3]
+    S = C - jnp.swapaxes(B, -1, -2) @ AinvB
+    Sinv = inv3x3(S)
+    rhs2 = g2 - jnp.einsum("...ij,...i->...j", AinvB, g1)
+    x2 = jnp.einsum("...ij,...j->...i", Sinv, rhs2)
+    x1 = jnp.einsum("...ij,...j->...i", Ainv, g1) - jnp.einsum(
+        "...ij,...j->...i", AinvB, x2
+    )
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Motion-only BA: one free pose, all points constant
 # ---------------------------------------------------------------------------
@@ -170,7 +199,7 @@ def motion_ba(
         H = jnp.einsum("kri,krj->ij", Jw, J)  # [6, 6]
         g = jnp.einsum("kri,kr->i", Jw, r)  # [6]
         D = jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
-        delta = -jnp.linalg.solve(H + lam * D, g)
+        delta = -solve6_spd(H + lam * D, g)
         rv_new = rv + delta[:3]
         tt_new = tt + delta[3:]
         new_cost = robust_cost(rv_new, tt_new)
@@ -581,7 +610,7 @@ def structure_ba(
             - jnp.einsum("pil,pjl->ij", Z, Y)
         )
         g_red = g_c - jnp.einsum("pik,pk->i", Z, g_p)
-        delta_c = -jnp.linalg.solve(S, g_red)  # [6]
+        delta_c = -solve6_spd(S, g_red)  # [6]
 
         # Back-substitution: frozen cameras have zero delta, so only the
         # free-camera coupling term appears.

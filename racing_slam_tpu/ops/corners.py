@@ -68,7 +68,7 @@ def detect_corners(
     border: int = 8,
     n_per_cell: int = 2,
 ) -> Corners:
-    """Detect corners on a grayscale [H, W] image.
+    """Detect corners on a grayscale [H, W] image (XLA conv-stack path).
 
     Args:
       mask: optional [H, W]; nonzero = detection allowed (cv mask semantics,
@@ -97,8 +97,28 @@ def detect_corners(
     nms_size = 2 * min_distance + 1
     is_peak = score >= max_pool_same(score, nms_size)
     peak_score = jnp.where(is_peak, score, 0.0)
+    return select_corners_from_maps(
+        score, peak_score, cell=cell, quality=quality, n_per_cell=n_per_cell
+    )
 
-    # Per-cell argmax over a regular grid (static K, uniform coverage).
+
+@f32_precision
+def select_corners_from_maps(
+    score: jnp.ndarray,
+    peak_score: jnp.ndarray,
+    *,
+    cell: int,
+    quality: float = DEFAULT_QUALITY,
+    n_per_cell: int = 2,
+) -> Corners:
+    """Grid-cell top-k + quality gate + sub-pixel refinement.
+
+    `score` is the (mask/border-gated) raw response used for the parabola
+    fit; `peak_score` is the NMS'd response the cells select from. Shared by
+    the XLA path above and the fused Pallas frontend
+    (ops/pallas/frontend_kernel.py).
+    """
+    H, W = score.shape
     Hp = -(-H // cell) * cell
     Wp = -(-W // cell) * cell
     padded = jnp.zeros((Hp, Wp)).at[:H, :W].set(peak_score)

@@ -127,7 +127,11 @@ CELL_MARGIN = 16
 
 @f32_precision
 def extract_descriptors_cells(
-    img: jnp.ndarray, xy: jnp.ndarray, cell: int, n_per_cell: int
+    img: jnp.ndarray,
+    xy: jnp.ndarray,
+    cell: int,
+    n_per_cell: int,
+    blurred: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Descriptors for GRID-ORDERED keypoints without per-keypoint gathers.
 
@@ -140,13 +144,16 @@ def extract_descriptors_cells(
     single op of the tracking step (a [K, T, T] random gather every frame).
 
     Requires cell >= 9 and CELL_MARGIN <= cell (margin = one neighbor tile).
+    `blurred` skips the internal gaussian_blur when the caller already has
+    the sigma-BLUR_SIGMA image (the fused Pallas frontend produces it).
     """
     H, W = img.shape
     S = PATCH_SIZE
     M = CELL_MARGIN
     assert M <= cell, "CELL_MARGIN must fit in one neighboring tile"
     T = cell + 2 * M
-    blurred = gaussian_blur(img, BLUR_SIGMA)
+    if blurred is None:
+        blurred = gaussian_blur(img, BLUR_SIGMA)
 
     gh = -(-H // cell)
     gw = -(-W // cell)

@@ -54,19 +54,25 @@ def _kernel(
     dv = uv_p_ref[:, 1:2] - kp_uv_ref[:, 1][None, :]
     px_ok = (du * du + dv * dv) <= radius_sq
 
-    kp_desc = kp_desc_ref[:]  # [K, D]
-    kp_n2 = jnp.sum(kp_desc * kp_desc, axis=-1)[None, :]  # [1, K]
+    kp_desc = kp_desc_ref[:]  # [K, D] bf16
+    kp_f32 = kp_desc.astype(jnp.float32)
+    kp_n2 = jnp.sum(kp_f32 * kp_f32, axis=-1)[None, :]  # [1, K]
 
     acc_ref[:] = jnp.full((TP, K), _BIG, jnp.float32)
     for o in range(O):
-        od = obs_desc_ref[pl.ds(o * TP, TP), :]  # [TP, D] (obs o of each point)
-        on2 = jnp.sum(od * od, axis=-1)[:, None]  # [TP, 1]
+        od = obs_desc_ref[pl.ds(o * TP, TP), :]  # [TP, D] bf16 (obs o per point)
+        od_f32 = od.astype(jnp.float32)
+        on2 = jnp.sum(od_f32 * od_f32, axis=-1)[:, None]  # [TP, 1]
         cross = jax.lax.dot_general(
             od,
             kp_desc,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [TP, K]
+            # Explicit DEFAULT: the surrounding f32_precision context sets
+            # HIGHEST, which Mosaic rejects for bf16 operands ("Bad lhs
+            # type") — bf16 x bf16 -> f32 accumulate IS the intended op.
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [TP, K] (see matching._pairwise_sq_dists for the bf16 rationale)
         dd = jnp.maximum(on2 + kp_n2 - 2.0 * cross, 0.0)
         ov = obs_valid_ref[:, o][:, None] > 0.0
         acc_ref[:] = jnp.minimum(acc_ref[:], jnp.where(ov, dd, _BIG))
@@ -145,10 +151,10 @@ def guided_match_stage1(
     )(
         uv_p.astype(jnp.float32),
         gate_p.astype(jnp.float32)[:, None],
-        obs_rows.astype(jnp.float32),
+        obs_rows.astype(jnp.bfloat16),
         obs_valid.astype(jnp.float32),
         kp_uv.astype(jnp.float32),
-        kp_desc.astype(jnp.float32),
+        kp_desc.astype(jnp.bfloat16),
         kp_ok.astype(jnp.float32)[:, None],
     )
     best_k, best_d = out

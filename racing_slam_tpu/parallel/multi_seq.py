@@ -1,0 +1,173 @@
+"""Data-parallel multi-sequence tracking over a device mesh.
+
+The reference processes exactly one video in one thread (src/main.cpp:72-111).
+The TPU deployment shape is a fleet: S independent sequences tracked
+concurrently, each owning its own SlamState, sharded over the mesh's 'seq'
+axis — pure data parallelism with zero cross-sequence communication (XLA
+inserts none: every collective-free op is elementwise in the seq axis).
+Combined with landmark-sharded bundle adjustment (parallel/dist_ba.py, 'lm'
+axis) this gives the 2-D scale-out mesh: seq x lm.
+
+Design notes:
+- The per-sequence program is the SAME fused step the single-chip engine runs
+  (slam.pipeline.slam_step_batch); vmap lifts it over the sequence axis and
+  NamedSharding('seq') places each sequence's state/frames on its device.
+  Under vmap, lax.cond lowers to select (both branches execute) — the price
+  of lockstep SPMD tracking; keyframe commits are a minority of frames, and
+  all sequences share one compiled program.
+- Host side, each sequence keeps its own video decoder; frames are stacked
+  [S, N, H, W] and device_put with the sequence sharding, so each chip only
+  receives its own sequences' bytes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.camera import Camera
+from ..slam.config import SlamConfig
+from ..slam.pipeline import slam_step_batch
+from ..slam.state import SlamState
+
+
+def batched_state(S: int, F: int, Pcap: int, O: int, K: int, D: int) -> SlamState:
+    """A stacked SlamState for S sequences (leading axis on every leaf)."""
+    one = SlamState.create(F=F, P=Pcap, O=O, K=K, D=D)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (S,) + x.shape), one)
+
+
+def seq_sharding(mesh: Mesh, axis: str = "seq"):
+    """NamedSharding placing the leading (sequence) axis on `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_states(states: SlamState, mesh: Mesh, axis: str = "seq") -> SlamState:
+    sh = seq_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), states)
+
+
+def multi_sequence_step(
+    mesh: Mesh,
+    *,
+    cam: Camera,
+    cfg: SlamConfig,
+    frontend,
+    axis: str = "seq",
+):
+    """Build the jitted S-sequence batched tracking step.
+
+    Returns fn(states, imgs [S, N, H, W], keys [S, N], active [S, N], mask)
+    -> (states, infos), with every argument and result sharded over `axis`.
+    """
+    step = partial(slam_step_batch, cam=cam, cfg=cfg, frontend=frontend)
+
+    def stepped(states, imgs, keys, active, mask):
+        return jax.vmap(
+            lambda st, im, ke, ac: step(st, im, ke, ac, mask)
+        )(states, imgs, keys, active)
+
+    sh = seq_sharding(mesh, axis)
+    # A single sharding acts as a pytree prefix: every leaf of the states /
+    # infos pytrees gets its leading axis placed on `axis`.
+    return jax.jit(
+        stepped,
+        in_shardings=(sh, sh, sh, sh, None),
+        out_shardings=(sh, sh),
+    )
+
+
+class MultiSlam:
+    """Host driver for S concurrent sequences on one mesh (deployment shape).
+
+    Mirrors the single-sequence Slam driver (slam/pipeline.py) but steps all
+    sequences in lockstep batched dispatches. Initialization runs per
+    sequence on the single-chip path (it is control-flow heavy and happens
+    once), then states are stacked and sharded.
+    """
+
+    def __init__(
+        self,
+        cam: Camera,
+        videos: list,
+        mesh: Mesh,
+        config: SlamConfig = SlamConfig(),
+        static_mask: np.ndarray | None = None,
+        seed: int = 0,
+        frontend=None,
+    ):
+        from ..slam.frontend import ClassicalFrontend
+        from ..slam.pipeline import Slam
+
+        self.mesh = mesh
+        self.cam = cam
+        self.cfg = config
+        S = len(videos)
+        if S % mesh.shape["seq"] != 0:
+            raise ValueError(
+                f"{S} sequences not divisible by seq axis {mesh.shape['seq']}"
+            )
+        self._slams = [
+            Slam(cam, v, config, static_mask=static_mask, seed=seed + i,
+                 frontend=frontend)
+            for i, v in enumerate(videos)
+        ]
+        self.frontend = self._slams[0].frontend
+        self._key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._step = multi_sequence_step(
+            mesh, cam=cam, cfg=config, frontend=self.frontend
+        )
+        self._mask = None if static_mask is None else jnp.asarray(static_mask)
+        self.states: SlamState | None = None
+
+    def initialize(self) -> bool:
+        ok = all(s.initialize() for s in self._slams)
+        if not ok:
+            return False
+        self.states = shard_states(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *[s.state for s in self._slams]),
+            self.mesh,
+        )
+        return True
+
+    def run_batched(self, max_frames: int | None = None, batch: int = 16) -> int:
+        """Step every sequence `batch` frames per dispatch until all EOF."""
+        assert self.states is not None, "call initialize() first"
+        S = len(self._slams)
+        total = 0
+        sh = seq_sharding(self.mesh)
+        while max_frames is None or total < max_frames:
+            want = batch if max_frames is None else min(batch, max_frames - total)
+            frames = [s._decode_batch(want) for s in self._slams]
+            ns = [len(f) for f in frames]
+            n = max(ns)
+            if n == 0:
+                break
+            H, W = self.cam.height, self.cam.width
+            imgs = np.zeros((S, batch, H, W), np.uint8)
+            active = np.zeros((S, batch), bool)
+            for i, fl in enumerate(frames):
+                for j, f in enumerate(fl):
+                    imgs[i, j] = f
+                    active[i, j] = True
+            self._key, k = jax.random.split(self._key)
+            keys = jax.random.split(k, S * batch).reshape(S, batch, -1)
+            self.states, infos = self._step(
+                self.states,
+                jax.device_put(imgs, sh),
+                jax.device_put(keys, sh),
+                jax.device_put(active, sh),
+                self._mask,
+            )
+            total += n
+        return total
+
+    def states_per_sequence(self) -> list[SlamState]:
+        return [
+            jax.tree.map(lambda x: np.asarray(x)[i], self.states)
+            for i in range(len(self._slams))
+        ]

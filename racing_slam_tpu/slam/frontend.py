@@ -14,25 +14,33 @@ The classical frontend corresponds to the ORB path; the learned frontend
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from ..ops.corners import detect_corners
+from ..ops.corners import detect_corners, select_corners_from_maps
 from ..ops.descriptors import MAX_DISTANCE, extract_descriptors_cells
 from .state import Features
 
 
 class ClassicalFrontend:
-    """Shi-Tomasi grid corners + normalized patch descriptors."""
+    """Shi-Tomasi grid corners + normalized patch descriptors.
+
+    backend: "auto" runs the fused Pallas image stack on TPU (one VMEM pass
+    for response + NMS + descriptor blur; ops/pallas/frontend_kernel.py) and
+    the XLA conv stack elsewhere; "xla"/"pallas" force a path.
+    """
 
     def __init__(
         self,
         cell: int = 16,
         n_per_cell: int = 2,
         max_distance: float = MAX_DISTANCE,
+        backend: str = "auto",
     ):
         self.cell = cell
         self.n_per_cell = n_per_cell
         self.max_distance = max_distance
+        self.backend = backend
         from ..ops.descriptors import DESCRIPTOR_DIM
 
         self.descriptor_dim = DESCRIPTOR_DIM
@@ -41,9 +49,26 @@ class ClassicalFrontend:
         return self.n_per_cell * (-(-height // self.cell)) * (-(-width // self.cell))
 
     def extract(self, img: jnp.ndarray, mask: jnp.ndarray | None = None) -> Features:
-        c = detect_corners(
-            img, mask=mask, cell=self.cell, n_per_cell=self.n_per_cell
-        )
-        # Cell-ordered keypoints -> gather-free descriptor extraction.
-        d = extract_descriptors_cells(img, c.xy, self.cell, self.n_per_cell)
+        backend = self.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if backend == "pallas":
+            from ..ops.pallas.frontend_kernel import corner_frontend_fused
+
+            interpret = jax.default_backend() != "tpu"
+            score, peaks, blurred = corner_frontend_fused(
+                img, mask, interpret=interpret
+            )
+            c = select_corners_from_maps(
+                score, peaks, cell=self.cell, n_per_cell=self.n_per_cell
+            )
+            d = extract_descriptors_cells(
+                img, c.xy, self.cell, self.n_per_cell, blurred=blurred
+            )
+        else:
+            c = detect_corners(
+                img, mask=mask, cell=self.cell, n_per_cell=self.n_per_cell
+            )
+            # Cell-ordered keypoints -> gather-free descriptor extraction.
+            d = extract_descriptors_cells(img, c.xy, self.cell, self.n_per_cell)
         return Features(xy=c.xy, desc=d, valid=c.valid, score=c.score)

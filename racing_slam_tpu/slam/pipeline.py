@@ -193,7 +193,7 @@ def _commit_keyframe(
         last_kf_slot=slot,
         last_rvec=rvec,
         last_t=t,
-        obs_desc=m.observation_descriptors(kfs)[0],
+        obs_desc=m.observation_descriptors(kfs)[0].astype(jnp.bfloat16),
     )
 
 
@@ -536,7 +536,7 @@ def commit_initialization(
         last_feat=query_feat,
         last_matches=kfs.matches[1],
         frame_count=query_index.astype(jnp.int32) + 1,
-        obs_desc=m.observation_descriptors(kfs)[0],
+        obs_desc=m.observation_descriptors(kfs)[0].astype(jnp.bfloat16),
     )
 
 

@@ -132,8 +132,10 @@ class SlamState(NamedTuple):
     # matcher needs it EVERY frame, but its inputs only change at keyframe
     # commits — caching turns a per-frame multi-MB gather into a per-commit
     # one. Refreshed at the end of _commit_keyframe / commit_initialization;
-    # validity is always derived fresh from obs_valid & valid.
-    obs_desc: jnp.ndarray  # [P, O, D]
+    # validity is always derived fresh from obs_valid & valid. Stored bf16:
+    # the matchers round descriptors to bf16 anyway (ops/matching.py), and
+    # halving this largest state array halves the matcher's HBM reads.
+    obs_desc: jnp.ndarray  # [P, O, D] bf16
 
     @staticmethod
     def create(F: int, P: int, O: int, K: int, D: int) -> "SlamState":
@@ -152,7 +154,7 @@ class SlamState(NamedTuple):
             ),
             last_matches=jnp.full((K,), NO_MATCH),
             frame_count=jnp.int32(0),
-            obs_desc=jnp.zeros((P, O, D)),
+            obs_desc=jnp.zeros((P, O, D), jnp.bfloat16),
         )
 
 

@@ -19,14 +19,28 @@ from ..slam.state import Features, KeyframeStore, MapState, SlamState
 
 def save_state(path: str | Path, state: SlamState) -> None:
     leaves, _ = jax.tree_util.tree_flatten(state)
-    np.savez_compressed(
-        path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    )
+    out = {}
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        if a.dtype.name == "bfloat16":  # npz cannot serialize ml_dtypes
+            out[f"leaf_{i}__bf16"] = a.astype(np.float32)
+        else:
+            out[f"leaf_{i}"] = a
+    np.savez_compressed(path, **out)
 
 
 def load_state(path: str | Path) -> SlamState:
+    import jax.numpy as _jnp
+
     with np.load(path) as data:
-        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+        leaves = []
+        for i in range(len(data.files)):
+            if f"leaf_{i}" in data:
+                leaves.append(data[f"leaf_{i}"])
+            else:
+                leaves.append(
+                    _jnp.asarray(data[f"leaf_{i}__bf16"], _jnp.bfloat16)
+                )
     # Rebuild the pytree structure from a template with matching shapes.
     import jax.numpy as jnp
 
