@@ -122,7 +122,9 @@ def main():
     )
     log(f"ATE {ate:.4f} over trajectory length {length:.2f}")
     if not np.isfinite(fps) or ate > 0.1 * max(length, 1.0):
-        log("WARNING: accuracy check failed; reporting fps anyway")
+        log(f"FATAL: accuracy check failed (ATE {ate:.4f} > 10% of length "
+            f"{length:.2f}); a broken trajectory's fps is meaningless")
+        sys.exit(1)
 
     print(
         json.dumps(
