@@ -28,6 +28,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--out", type=Path, default=None, help="output dir for artifacts")
     p.add_argument("--checkpoint-every", type=int, default=0, help="save state every N keyframes (0=off)")
+    p.add_argument("--overlay-every", type=int, default=0,
+                   help="save a keypoint/match overlay image every N frames "
+                        "(0=off; needs --out)")
     p.add_argument("--resume", type=Path, default=None, help="resume from a state checkpoint")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
@@ -122,6 +125,8 @@ def main(argv=None) -> int:
     if out:
         out.mkdir(parents=True, exist_ok=True)
     sink = MetricsSink(out / "metrics.jsonl") if out else None
+    if args.overlay_every and out:
+        slam.keep_last_image = True
 
     if int(slam.state.num_kf) < 2:
         with timer.stage("initialize"):
@@ -162,6 +167,9 @@ def main(argv=None) -> int:
                     is_keyframe=bool(info.is_keyframe),
                 )
             )
+        if args.overlay_every and out and n % args.overlay_every == 0:
+            od = slam.overlay_data()
+            viz.save_overlay(out / f"overlay_{n:05d}.png", **od)
         if (
             args.checkpoint_every
             and out

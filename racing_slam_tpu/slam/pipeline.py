@@ -604,6 +604,11 @@ class Slam:
             partial(commit_initialization, cam=cam, cfg=config)
         )
         self.infos: list = []
+        # Per-frame image retention for debug overlays (run.py --overlay-every;
+        # reference equivalent: the main-loop image view, src/main.cpp:85-104).
+        # Off by default — it adds a device->host frame readback per step.
+        self.keep_last_image = False
+        self.last_image: np.ndarray | None = None
         # Failure detection / recovery bookkeeping (SlamConfig.reinit_on_lost).
         self._lost_streak = 0
         self._frames_since_check = 0
@@ -684,6 +689,8 @@ class Slam:
             self.state, info = self._step(
                 self.state, img, self._subkey(), self._mask
             )
+            if self.keep_last_image:
+                self.last_image = np.asarray(img)
             # Overlap the next frame's decode+upload with this step's compute
             # (both the step dispatch and device_put are async).
             self._prefetched = self._decode_next()
@@ -864,4 +871,27 @@ class Slam:
     def reprojection_error(self) -> float:
         return float(
             keyframe_reprojection_error(self.cam, self.state.map, self.state.kfs)
+        )
+
+    def overlay_data(self) -> dict:
+        """Current-frame overlay ingredients (keypoints, matched map-point
+        projections, match mask) for viz.save_overlay — the headless
+        equivalent of the reference's per-frame image view
+        (src/main.cpp:87-104)."""
+        st = self.state
+        kp = np.asarray(st.last_feat.xy)
+        valid = np.asarray(st.last_feat.valid)
+        matches = np.asarray(st.last_matches)
+        matched = valid & (matches >= 0)
+        pose = se3.pose_matrix(st.last_rvec, st.last_t)
+        from ..ops.camera import project
+
+        pos = st.map.pos[jnp.clip(jnp.asarray(matches), 0)]
+        proj = np.asarray(project(self.cam, pose, pos))
+        return dict(
+            image=None if self.last_image is None
+            else self.last_image.astype(np.float32) / 255.0,
+            keypoints=np.where(valid[:, None], kp, np.nan),
+            projections=proj,
+            matches_mask=matched,
         )
