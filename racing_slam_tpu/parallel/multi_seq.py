@@ -33,6 +33,7 @@ from ..ops.camera import Camera
 from ..slam.config import SlamConfig
 from ..slam.pipeline import slam_step_batch
 from ..slam.state import SlamState
+from .mesh import put_sharded
 
 
 def batched_state(S: int, F: int, Pcap: int, O: int, K: int, D: int) -> SlamState:
@@ -88,6 +89,12 @@ class MultiSlam:
     sequences in lockstep batched dispatches. Initialization runs per
     sequence on the single-chip path (it is control-flow heavy and happens
     once), then states are stacked and sharded.
+
+    When the mesh has an 'lm' axis, `refine_every > 0` runs a periodic
+    landmark-sharded FULL bundle adjustment over every sequence's live map
+    (parallel/refine.py) — the global-optimization stage the reference's
+    single-process Ceres never had (its per-commit BA freezes all previous
+    keyframes, src/Slam.cpp:202-213), and the job of the mesh's 'lm' axis.
     """
 
     def __init__(
@@ -99,6 +106,8 @@ class MultiSlam:
         static_mask: np.ndarray | None = None,
         seed: int = 0,
         frontend=None,
+        refine_every: int = 0,
+        refine_iters: int = 10,
     ):
         from ..slam.frontend import ClassicalFrontend
         from ..slam.pipeline import Slam
@@ -123,6 +132,20 @@ class MultiSlam:
         )
         self._mask = None if static_mask is None else jnp.asarray(static_mask)
         self.states: SlamState | None = None
+        self.refine_every = refine_every
+        self._refine = None
+        self.refine_costs: list = []
+        if refine_every:
+            if "lm" not in mesh.axis_names:
+                raise ValueError("refine_every needs an 'lm' mesh axis")
+            from .refine import make_refine_step
+
+            # The matcher reads the cached obs_desc, which refinement leaves
+            # stale only in VALUE (descriptors never change — only poses and
+            # points move), so no refresh is needed.
+            self._refine = make_refine_step(
+                cam, mesh, max_iters=refine_iters,
+            )
 
     def initialize(self) -> bool:
         ok = all(s.initialize() for s in self._slams)
@@ -139,6 +162,7 @@ class MultiSlam:
         assert self.states is not None, "call initialize() first"
         S = len(self._slams)
         total = 0
+        batches = 0
         sh = seq_sharding(self.mesh)
         while max_frames is None or total < max_frames:
             want = batch if max_frames is None else min(batch, max_frames - total)
@@ -158,13 +182,24 @@ class MultiSlam:
             keys = jax.random.split(k, S * batch).reshape(S, batch, -1)
             self.states, infos = self._step(
                 self.states,
-                jax.device_put(imgs, sh),
-                jax.device_put(keys, sh),
-                jax.device_put(active, sh),
+                put_sharded(imgs, sh),
+                put_sharded(keys, sh),
+                put_sharded(active, sh),
                 self._mask,
             )
             total += n
+            batches += 1
+            if self._refine is not None and batches % self.refine_every == 0:
+                self.states, cost = self._refine(self.states)
+                self.refine_costs.append(cost)
         return total
+
+    def refine_map(self):
+        """Run one landmark-sharded full-map BA over all sequences now."""
+        assert self._refine is not None, "construct with refine_every > 0"
+        self.states, cost = self._refine(self.states)
+        self.refine_costs.append(cost)
+        return cost
 
     def states_per_sequence(self) -> list[SlamState]:
         return [

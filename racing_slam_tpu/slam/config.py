@@ -42,10 +42,24 @@ class SlamConfig:
     max_ref_chances: int = 5  # src/Init.h:18
     ba_iters: int = 10  # src/Optimization.cpp:153
     motion_ba_iters: int = 10
+    # Commit-BA point budget (0 = one slot per keypoint, the exact worst
+    # case, so nothing is ever dropped). Smaller budgets shrink every
+    # [budget, O] tensor of the commit LM loop but overflow leaves freshly
+    # triangulated points unrefined — measured on-chip this COSTS throughput
+    # (worse map -> more keyframe commits via the 0.9 rule) and doubles ATE,
+    # so the default stays exact; the knob exists for memory-constrained
+    # configs (overflow keeps the best-anchored points, see
+    # MapState.ba_point_selection).
+    ba_commit_budget: int = 0
     # Huber scale: "reference" keeps Ceres' sqrt(5.991) on the normalized
     # residual (effectively quadratic); "pixel" rescales it by 1/fx so the
     # robust loss engages at the intended ~2.45 px.
     huber_mode: str = "pixel"
+    # Full-observation-table policy (the reference's dict grows unboundedly,
+    # src/MapPoint.h:28): "replace_oldest" keeps the O most recent anchors,
+    # "drop_newest" discards new associations once full. See
+    # state.add_associations.
+    obs_policy: str = "replace_oldest"
 
     ransac_hypotheses: int = 512
     ransac_threshold_px: float = 0.4  # src/PoseEstimation.cpp:78

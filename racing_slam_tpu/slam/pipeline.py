@@ -115,7 +115,9 @@ def _commit_keyframe(
         kfs, slot, rvec, t, feat, jnp.where(match_ok, matches, -1), state.frame_count
     )
     # Map associations for tracked matches (src/Slam.cpp:180-183).
-    m = add_associations(m, slot, matches, match_ok)
+    m = add_associations(
+        m, slot, matches, match_ok, kfs.frame_index, policy=cfg.obs_policy
+    )
 
     # Triangulate unmatched features vs the last keyframe (src/Slam.cpp:186-199).
     if cfg.triangulate_points:
@@ -155,7 +157,8 @@ def _commit_keyframe(
     if cfg.bundle_adjust:
         K = feat.xy.shape[0]
         P = m.valid.shape[0]
-        Pc = min(P, -(-K // 128) * 128)
+        budget = cfg.ba_commit_budget or -(-K // 128) * 128
+        Pc = min(P, budget)
         sel, sel_ok = m.ba_point_selection(slot, Pc)
         obs_kf = m.obs_kf[sel]
         obs_kp = m.obs_kp[sel]

@@ -112,7 +112,13 @@ class MapState(NamedTuple):
         Returns (sel [budget] i32 map slots, sel_ok [budget] bool).
         """
         point_in = self.observed_by(kf_slot) & self.valid
-        order = jnp.argsort(~point_in)  # in-problem slots first (stable)
+        # In-problem slots first; under budget overflow, keep the points with
+        # the most observations (the best-anchored ones benefit most from a
+        # refit; fresh 2-view points keep their triangulated positions).
+        O = self.obs_valid.shape[1]
+        n_obs = jnp.sum(self.obs_valid, axis=-1)
+        rank = jnp.where(point_in, O - n_obs, 2 * O)
+        order = jnp.argsort(rank)  # stable
         sel = order[:budget].astype(jnp.int32)
         return sel, point_in[sel]
 
@@ -261,18 +267,43 @@ def add_associations(
     kf_slot: jnp.ndarray,
     point_idx: jnp.ndarray,  # [K] i32 map slot per keypoint (or -1)
     assoc_valid: jnp.ndarray,  # [K] bool
+    kf_frame_index: jnp.ndarray | None = None,  # [F] i32 (KeyframeStore.frame_index)
+    policy: str = "replace_oldest",
 ) -> MapState:
-    """Batch Map::add_association (src/Map.cpp:53-57): append an observation
-    (kf_slot, keypoint k) to each matched point. Observations beyond the O
-    capacity are dropped (the reference grows unboundedly; we keep the O
-    most-recent-first slots and document the cap)."""
+    """Batch Map::add_association (src/Map.cpp:53-57): register an observation
+    (kf_slot, keypoint k) on each matched point.
+
+    The reference's observation dict grows unboundedly; the fixed-O table
+    needs a policy once a point is full:
+    - "replace_oldest" (default): overwrite the observation from the OLDEST
+      keyframe (by frame_index). Long-lived points keep accumulating fresh
+      anchors — the most recent views are also the ones the matcher and BA
+      weight the most — instead of freezing at their first O views.
+    - "drop_newest": the reference-adjacent conservative cap — new
+      associations are discarded when the table is full.
+
+    Either way, the target slot is the first INVALID slot when one exists
+    (eviction scrubbing leaves holes; a count-based cursor would land on a
+    live slot and silently destroy an observation).
+    """
     K = point_idx.shape[0]
     P, O = m.obs_valid.shape
     pid = jnp.clip(point_idx, 0, P - 1)
-    # First free observation slot per point (obs slots filled left-to-right).
-    counts = jnp.sum(m.obs_valid, axis=-1)  # [P]
-    cursor = counts[pid]  # [K]
-    ok = assoc_valid & (point_idx >= 0) & (cursor < O)
+    if kf_frame_index is None:
+        # No age info: order by observation slot (creation order approximates
+        # age because slots fill left to right).
+        age = jnp.where(
+            m.obs_valid, jnp.arange(O, dtype=jnp.int32)[None, :], jnp.int32(-1)
+        )
+    else:
+        age = jnp.where(
+            m.obs_valid, kf_frame_index[jnp.clip(m.obs_kf, 0)], jnp.int32(-1)
+        )  # [P, O]; invalid slots sort first (age -1)
+    slot_of = jnp.argmin(age, axis=-1).astype(jnp.int32)  # [P]
+    cursor = slot_of[pid]  # [K]
+    ok = assoc_valid & (point_idx >= 0)
+    if policy == "drop_newest":
+        ok = ok & jnp.any(~m.obs_valid, axis=-1)[pid]
     # OOB sentinel + drop for rejected rows. Duplicate (pid, cursor) targets
     # cannot occur: the matcher yields at most one keypoint per point.
     pid_t = jnp.where(ok, pid, P).astype(jnp.int32)

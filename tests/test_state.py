@@ -70,6 +70,7 @@ def test_create_points_respects_capacity(rng):
 
 def test_add_associations_appends(rng):
     m, kfs = _empty()
+    fidx = jnp.arange(8, dtype=jnp.int32)  # keyframe slot i <- frame i
     # One existing point with 2 observations.
     m = m._replace(
         valid=m.valid.at[5].set(True),
@@ -78,14 +79,45 @@ def test_add_associations_appends(rng):
     )
     match = jnp.full((K,), -1, jnp.int32).at[3].set(5)
     valid = jnp.zeros((K,), bool).at[3].set(True)
-    m2 = add_associations(m, jnp.int32(2), match, valid)
+    m2 = add_associations(m, jnp.int32(2), match, valid, fidx)
     assert bool(m2.obs_valid[5, 2])
     assert int(m2.obs_kf[5, 2]) == 2
     assert int(m2.obs_kp[5, 2]) == 3
-    # Saturation: fill all O slots, further associations dropped.
-    m3 = add_associations(m2, jnp.int32(3), match, valid)
-    m4 = add_associations(m3, jnp.int32(3), match, valid)
+    # Saturation, drop_newest: fill all O slots, further associations dropped.
+    m3 = add_associations(m2, jnp.int32(3), match, valid, fidx,
+                          policy="drop_newest")
+    m4 = add_associations(m3, jnp.int32(4), match, valid, fidx,
+                          policy="drop_newest")
     assert int(jnp.sum(m4.obs_valid[5])) == O
+    assert sorted(np.asarray(m4.obs_kf[5]).tolist()) == [0, 1, 2, 3]
+    # Saturation, replace_oldest: keyframe 4 replaces the oldest anchor (0).
+    m5 = add_associations(m3, jnp.int32(4), match, valid, fidx,
+                          policy="replace_oldest")
+    assert int(jnp.sum(m5.obs_valid[5])) == O
+    assert sorted(np.asarray(m5.obs_kf[5]).tolist()) == [1, 2, 3, 4]
+
+
+def test_add_associations_fills_holes_first():
+    """Eviction scrubbing leaves invalid slots mid-table; a new association
+    must land in the hole, never on a live observation."""
+    m, kfs = _empty()
+    fidx = jnp.arange(8, dtype=jnp.int32)
+    m = m._replace(
+        valid=m.valid.at[5].set(True),
+        obs_valid=m.obs_valid.at[5].set(jnp.asarray([True, False, True, False])),
+        obs_kf=m.obs_kf.at[5].set(jnp.asarray([0, 9, 2, 9])),
+        obs_kp=m.obs_kp.at[5].set(jnp.asarray([10, 0, 12, 0])),
+    )
+    match = jnp.full((K,), -1, jnp.int32).at[3].set(5)
+    valid = jnp.zeros((K,), bool).at[3].set(True)
+    m2 = add_associations(m, jnp.int32(3), match, valid, fidx)
+    ov = np.asarray(m2.obs_valid[5])
+    assert ov.sum() == 3
+    # Both live observations survived.
+    assert int(m2.obs_kf[5, 0]) == 0 and int(m2.obs_kp[5, 0]) == 10
+    assert int(m2.obs_kf[5, 2]) == 2 and int(m2.obs_kp[5, 2]) == 12
+    new_slot = int(np.nonzero(ov & (np.asarray(m2.obs_kf[5]) == 3))[0][0])
+    assert new_slot in (1, 3)
 
 
 def test_remove_points_scrubs_matches(rng):
