@@ -160,6 +160,7 @@ def motion_ba(
     valid: jnp.ndarray,
     max_iters: int = MAX_ITERS,
     huber_delta: float = HUBER_DELTA,
+    backend: str = "auto",
 ) -> MotionBAResult:
     """Optimize a single pose against fixed 3D points.
 
@@ -171,7 +172,28 @@ def motion_ba(
       kp_uv: [K, 2] matched keypoint pixels.
       point_xyz: [K, 3] matched map point positions (already gathered).
       valid: [K] bool — row participates.
+      backend: "pallas" = single fused LM-loop kernel (TPU), "xla" = this
+        function's while_loop, "auto" = pallas on TPU else xla.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from .pallas.motion_ba_kernel import motion_ba_planes, pack_motion_planes
+
+        data = pack_motion_planes(cam, kp_uv, point_xyz, valid)
+        pose0 = jnp.concatenate(
+            [
+                rvec.astype(jnp.float32),
+                t.astype(jnp.float32),
+                jnp.asarray([1e-4, 0.0], jnp.float32),
+            ]
+        )
+        out = motion_ba_planes(
+            pose0, data, max_iters, float(huber_delta), FUNCTION_TOLERANCE
+        )
+        return MotionBAResult(
+            rvec=out[:3], t=out[3:6], cost=out[6], num_residuals=jnp.sum(valid)
+        )
     fx, cx, cy = cam.fx, cam.cx, cam.cy
     K = kp_uv.shape[0]
     n_res = jnp.sum(valid)

@@ -10,9 +10,14 @@ the same accept criteria the reference uses (all three triangulation filters,
 src/Triangulation.cpp:60-95).
 
 Reference RANSAC parameters: confidence 0.999, threshold 0.4 px
-(src/PoseEstimation.cpp:73-79). With H=512 parallel hypotheses the success
-probability at 50% inlier rate is 1-(1-0.5^8)^512 ≈ 0.87; at 70% inliers it is
->0.9999 — and the batch costs one fused kernel launch rather than a loop.
+(src/PoseEstimation.cpp:73-79). Matching that confidence with 8-point minimal
+samples (vs the reference's 5-point) takes a bigger batch: at 50% inliers
+1-(1-0.5^8)^H is ≈0.87 for H=512 but ≈0.9997 for H=2048, and the whole batch
+is one fused launch either way. The pipeline uses H=2048 for the
+once-per-bootstrap solve (SlamConfig.init_ransac_hypotheses, the
+accuracy-critical path, tested at 50% outliers over 100 seeds in
+tests/test_essential_ransac.py) and H=512 for the optional per-frame pose
+seed that motion BA immediately refines.
 """
 
 from __future__ import annotations

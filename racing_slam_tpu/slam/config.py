@@ -61,12 +61,24 @@ class SlamConfig:
     # state.add_associations.
     obs_policy: str = "replace_oldest"
 
+    # Tracking-time RANSAC batch (essential_matrix_estimation path): its
+    # output is only a pre-BA pose seed, immediately refined by motion BA on
+    # map matches, so a smaller batch is fine.
     ransac_hypotheses: int = 512
+    # Bootstrap RANSAC batch. The reference runs adaptive RANSAC at
+    # confidence 0.999 (src/PoseEstimation.cpp:73-79) with 5-point minimal
+    # samples; our batched 8-point solver needs more hypotheses for the same
+    # guarantee: 1-(1-0.5^8)^2048 ≈ 0.9997 at 50% inliers. The bootstrap runs
+    # once per (re)initialization, so the 4x batch is effectively free.
+    init_ransac_hypotheses: int = 2048
     ransac_threshold_px: float = 0.4  # src/PoseEstimation.cpp:78
 
     # Guided-matcher backend: "auto" = fused Pallas kernel on TPU, XLA
     # fallback elsewhere (interpret-mode Pallas is too slow for CPU runs).
     matching_backend: str = "auto"
+    # Motion-BA backend: "auto" = fused single-kernel Pallas LM loop on TPU
+    # (ops/pallas/motion_ba_kernel.py), XLA while_loop elsewhere.
+    ba_backend: str = "auto"
 
     # Failure detection / recovery (new capability; the reference only prints
     # "Initialization failed" and keeps going — src/Slam.cpp:38-41). Tracking

@@ -287,6 +287,7 @@ def slam_step(
             matches >= 0,
             max_iters=cfg.motion_ba_iters,
             huber_delta=huber,
+            backend=cfg.ba_backend,
         )
         rvec, t = res.rvec, res.t
 
@@ -318,6 +319,7 @@ def slam_step(
             matches >= 0,
             max_iters=cfg.motion_ba_iters,
             huber_delta=huber,
+            backend=cfg.ba_backend,
         )
         rvec, t = res.rvec, res.t
 
@@ -438,7 +440,7 @@ def try_initialize(
         query_feat.xy,
         fm.valid,
         key,
-        num_hypotheses=cfg.ransac_hypotheses,
+        num_hypotheses=cfg.init_ransac_hypotheses,
         threshold_px=cfg.ransac_threshold_px,
     )
     eye = jnp.eye(4)
