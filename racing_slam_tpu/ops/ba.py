@@ -577,6 +577,7 @@ def structure_ba(
     max_iters: int = MAX_ITERS,
     init_lambda: float = 1e-4,
     huber_delta: float = HUBER_DELTA,
+    backend: str = "auto",
 ) -> BAResult:
     """Schur LM specialized to ONE free camera + free points.
 
@@ -589,7 +590,41 @@ def structure_ba(
     and the camera-point coupling is a single [P, 6, 3] block. ~F x less
     work per LM iteration than `full_ba` with identical semantics
     (`prob.cam_free` is ignored; the free camera is `free_slot`).
+
+    backend: "pallas" = the whole LM loop as one fused kernel
+    (ops/pallas/structure_ba_kernel.py), "xla" = this function's while_loop,
+    "auto" = pallas on TPU else xla.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from .pallas.structure_ba_kernel import (
+            pack_structure_problem,
+            structure_ba_planes,
+            unpack_points,
+        )
+
+        P, O = prob.obs_cam.shape
+        Fn = prob.cam_rvec.shape[0]
+        n_res = jnp.sum(
+            prob.obs_valid
+            & prob.cam_in_problem[jnp.clip(prob.obs_cam, 0, Fn - 1)]
+            & prob.point_in_problem[:, None]
+        )
+        pose0, obs, pts, _ = pack_structure_problem(
+            cam, prob, free_slot, init_lambda
+        )
+        out_pose, out_pts = structure_ba_planes(
+            pose0, obs, pts, O, max_iters, float(huber_delta),
+            FUNCTION_TOLERANCE,
+        )
+        return BAResult(
+            cam_rvec=prob.cam_rvec.at[free_slot].set(out_pose[:3]),
+            cam_t=prob.cam_t.at[free_slot].set(out_pose[3:6]),
+            points=unpack_points(out_pts, P),
+            cost=out_pose[6],
+            num_residuals=n_res,
+        )
     fx, cx, cy = cam.fx, cam.cx, cam.cy
     F = prob.cam_rvec.shape[0]
     eye3 = jnp.eye(3)

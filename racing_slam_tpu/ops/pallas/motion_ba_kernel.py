@@ -129,8 +129,15 @@ def _solve6_scalar(H, g):
     return x1 + x2
 
 
-def _kernel(pose0_ref, data_ref, out_ref, *, R, max_iters, huber_delta, ftol):
-    """data_ref rows: [Xx | Xy | Xz | nx | ny | valid], each an [R,128] plane."""
+def _kernel(pose0_ref, data_ref, out_ref, *, R, huber_delta, ftol):
+    """data_ref rows: [Xx | Xy | Xz | nx | ny | valid], each an [R,128] plane.
+
+    The iteration cap comes in as a RUNTIME scalar (pose0_ref[0, 7]), not a
+    Python constant: Mosaic unrolls while_loops whose trip count is statically
+    bounded, which made compile time scale linearly with max_iters (the
+    full-size kernel at 10 iterations never finished compiling). A dynamic
+    bound keeps one copy of the body.
+    """
     Xx = data_ref[0 * R : 1 * R, :]
     Xy = data_ref[1 * R : 2 * R, :]
     Xz = data_ref[2 * R : 3 * R, :]
@@ -161,6 +168,8 @@ def _kernel(pose0_ref, data_ref, out_ref, *, R, max_iters, huber_delta, ftol):
         r1 = gy - ny
         s = r0 * r0 + r1 * r1
         return jnp.sum(vw * _huber_cost(s, huber_delta))
+
+    max_iters = pose0_ref[0, 7].astype(jnp.int32)
 
     def cond_fn(st):
         return (st[8] < max_iters) & ~st[9]
@@ -307,10 +316,10 @@ def motion_ba_planes(
 ) -> jnp.ndarray:
     """Run the fused LM loop; returns [8] f32 (pose, cost, iters)."""
     R = data.shape[0] // 6
+    # Ship the iteration cap as data (pose0[7]) — see _kernel's docstring.
+    pose0 = pose0.at[7].set(jnp.float32(max_iters))
     out = pl.pallas_call(
-        partial(
-            _kernel, R=R, max_iters=max_iters, huber_delta=huber_delta, ftol=ftol
-        ),
+        partial(_kernel, R=R, huber_delta=huber_delta, ftol=ftol),
         out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

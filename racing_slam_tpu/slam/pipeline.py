@@ -175,7 +175,8 @@ def _commit_keyframe(
             point_in_problem=sel_ok,
         )
         res = structure_ba(
-            cam, prob, slot, max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
+            cam, prob, slot, max_iters=cfg.ba_iters,
+            huber_delta=_huber(cfg, cam), backend=cfg.ba_backend,
         )
         kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
         tgt = jnp.where(sel_ok, sel, P)
@@ -520,7 +521,8 @@ def commit_initialization(
         point_in_problem=sel_ok,
     )
     res = structure_ba(
-        cam, prob, jnp.int32(1), max_iters=cfg.ba_iters, huber_delta=_huber(cfg, cam)
+        cam, prob, jnp.int32(1), max_iters=cfg.ba_iters,
+        huber_delta=_huber(cfg, cam), backend=cfg.ba_backend,
     )
     kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
     tgt = jnp.where(sel_ok, sel, P)

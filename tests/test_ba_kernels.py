@@ -86,3 +86,89 @@ def test_motion_kernel_all_invalid_is_identity(rng):
     out = _run_pallas_motion(cam, rv0, t0, uv, X, np.zeros(len(X), bool))
     np.testing.assert_allclose(np.asarray(out[:3]), rv0, atol=0)
     np.testing.assert_allclose(np.asarray(out[3:6]), t0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# structure_ba kernel (single free camera + free points Schur LM)
+# ---------------------------------------------------------------------------
+
+from racing_slam_tpu.ops.ba import BAProblem, structure_ba
+from racing_slam_tpu.ops.pallas.structure_ba_kernel import (
+    pack_structure_problem,
+    structure_ba_planes,
+    unpack_points,
+)
+from tests.test_ba import _make_rig, _problem_from_rig
+
+
+def _run_pallas_structure(cam, prob, free_slot, max_iters=10,
+                          huber_delta=float(jnp.sqrt(5.991))):
+    P, O = prob.obs_cam.shape
+    pose0, obs, pts, _ = pack_structure_problem(cam, prob,
+                                                jnp.int32(free_slot))
+    out_pose, out_pts = structure_ba_planes(
+        pose0, obs, pts, O, max_iters, huber_delta, 1e-6, interpret=True
+    )
+    return out_pose, unpack_points(out_pts, P)
+
+
+def _perturbed_rig(rng):
+    cam, poses, X, obs_cam, obs_uv, obs_valid = _make_rig(rng, n_cams=3)
+    poses_pert = [p.copy() for p in poses]
+    poses_pert[2][:3, 3] += np.float32([0.06, -0.04, 0.05])
+    R_p = (Rotation.from_rotvec([0.01, 0.02, -0.01]).as_matrix()
+           @ poses_pert[2][:3, :3])
+    poses_pert[2][:3, :3] = R_p.astype(np.float32)
+    X_noisy = X + rng.normal(0, 0.03, X.shape).astype(np.float32)
+    prob = _problem_from_rig(cam, poses_pert, X_noisy, obs_cam, obs_uv,
+                             obs_valid,
+                             cam_free=np.array([False, False, True]),
+                             point_free=np.ones(len(X), bool))
+    return cam, poses, X, prob
+
+
+def test_structure_kernel_matches_xla(rng):
+    cam, poses, X, prob = _perturbed_rig(rng)
+    ref = structure_ba(cam, prob, jnp.int32(2), backend="xla")
+    out_pose, out_X = _run_pallas_structure(cam, prob, 2)
+    np.testing.assert_allclose(np.asarray(out_pose[:3]),
+                               np.asarray(ref.cam_rvec)[2], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_pose[3:6]),
+                               np.asarray(ref.cam_t)[2], atol=1e-4)
+    assert float(out_pose[6]) <= float(ref.cost) * 1.01 + 1e-10
+    err = np.linalg.norm(out_X - np.asarray(ref.points), axis=-1)
+    assert np.median(err) < 1e-4
+
+
+def test_structure_kernel_recovers_truth(rng):
+    cam, poses, X, prob = _perturbed_rig(rng)
+    out_pose, out_X = _run_pallas_structure(cam, prob, 2)
+    np.testing.assert_allclose(np.asarray(out_pose[3:6]), poses[2][:3, 3],
+                               atol=2e-3)
+    err = np.linalg.norm(out_X - X, axis=-1)
+    assert np.median(err) < 5e-3
+
+
+def test_structure_kernel_respects_freeze_masks(rng):
+    cam, poses, X, prob = _perturbed_rig(rng)
+    frozen = np.zeros(len(X), bool)
+    frozen[:20] = True  # freeze the first 20 points
+    prob = prob._replace(point_free=jnp.asarray(~frozen))
+    out_pose, out_X = _run_pallas_structure(cam, prob, 2)
+    np.testing.assert_array_equal(out_X[:20], np.asarray(prob.points)[:20])
+    # The rest still move (non-zero update on noisy points).
+    assert np.linalg.norm(out_X[20:] - np.asarray(prob.points)[20:]) > 1e-4
+
+
+def test_structure_kernel_dispatch_through_ba(rng):
+    """The structure_ba(backend=...) result plumbing: full cam arrays with
+    only the free slot updated, points unpacked to [P, 3]."""
+    cam, poses, X, prob = _perturbed_rig(rng)
+    # interpret-mode kernel via direct call; dispatch path itself is XLA on
+    # CPU, so drive the pallas branch explicitly through the packers above
+    # and compare container shapes from the xla branch.
+    ref = structure_ba(cam, prob, jnp.int32(2), backend="xla")
+    assert ref.cam_rvec.shape == prob.cam_rvec.shape
+    assert ref.points.shape == prob.points.shape
+    np.testing.assert_array_equal(np.asarray(ref.cam_t)[:2],
+                                  np.asarray(prob.cam_t)[:2])
