@@ -241,13 +241,24 @@ def match(
 
 def save_params(path, params: LightGlueParams) -> None:
     leaves = jax.tree_util.tree_leaves(params)
-    np.savez(path, n_leaves=len(leaves), **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    np.savez(
+        path,
+        n_leaves=len(leaves),
+        in_dim=params.in_proj_w.shape[0],
+        dim=params.in_proj_w.shape[1],
+        n_layers=len(params.layers),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
 
 
-def load_params(path, in_dim=256, dim=256, n_layers=4) -> LightGlueParams:
-    template = init_params(jax.random.PRNGKey(0), in_dim, dim, n_layers)
-    treedef = jax.tree_util.tree_structure(template)
+def load_params(path) -> LightGlueParams:
+    """Restore trained weights; hyperparameters are stored in the file."""
     with np.load(path) as data:
+        template = init_params(
+            jax.random.PRNGKey(0),
+            int(data["in_dim"]), int(data["dim"]), int(data["n_layers"]),
+        )
+        treedef = jax.tree_util.tree_structure(template)
         n = int(data["n_leaves"])
         leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -233,11 +233,155 @@ def train_lightglue(
     return params
 
 
+def lightglue_frontend_loss(
+    params, d0, xy0, v0, d1, xy1, v1, gt_idx, gt_valid, image_size
+):
+    """Masked NLL of the homography ground-truth assignment: matched tokens
+    maximize their GT score; unmatched-but-valid tokens minimize
+    matchability."""
+    K = d0.shape[0]
+    scores, m0, _ = lightglue.assignment_scores(
+        params, d0, xy0, v0, d1, xy1, v1, image_size
+    )
+    picked = scores[jnp.arange(K), jnp.clip(gt_idx, 0)]
+    nll = -jnp.log(picked + 1e-9)
+    unmatched_pen = -jnp.log(1.0 - m0 + 1e-9)
+    matched = gt_valid & v0
+    unmatched = v0 & ~gt_valid
+    n = jnp.sum(v0) + 1e-6
+    return (
+        jnp.sum(jnp.where(matched, nll, 0.0))
+        + 0.3 * jnp.sum(jnp.where(unmatched, unmatched_pen, 0.0))
+    ) / n
+
+
+def _homography_pair(rng, frontend, extract, h, w, mag=0.12):
+    """One training example: classical-frontend features of a texture and its
+    homography warp, plus the GT assignment (nearest warped keypoint < 3 px)."""
+    img0 = random_texture(h, w, rng)
+    H = random_homography(rng, h, w, mag=mag)
+    img1 = warp_image(img0, H)
+    f0 = extract(jnp.asarray(img0))
+    f1 = extract(jnp.asarray(img1))
+    xy0 = np.asarray(f0.xy)
+    xy1 = np.asarray(f1.xy)
+    v0 = np.asarray(f0.valid)
+    v1 = np.asarray(f1.valid)
+    warped = apply_h(H, xy0)  # where image-0 keypoints land in image 1
+    d2 = np.sum((warped[:, None, :] - xy1[None, :, :]) ** 2, axis=-1)
+    d2[:, ~v1] = np.inf
+    gt_idx = np.argmin(d2, axis=1).astype(np.int32)
+    gt_valid = (
+        v0
+        & (d2[np.arange(len(xy0)), gt_idx] < 9.0)
+        & (warped[:, 0] >= 0) & (warped[:, 0] < w)
+        & (warped[:, 1] >= 0) & (warped[:, 1] < h)
+    )
+    return f0, f1, gt_idx, gt_valid
+
+
+def train_lightglue_frontend(
+    steps: int = 400,
+    img_size: tuple = (160, 224),
+    dim: int = 128,
+    n_layers: int = 2,
+    lr: float = 2e-4,
+    seed: int = 0,
+    log_every: int = 25,
+) -> lightglue.LightGlueParams:
+    """Train LightGlue on REAL classical-frontend descriptors (128-d) of
+    homography-warped texture pairs — the weights the SLAM pipeline's
+    `matcher: lightglue` path loads. GT correspondence comes from the known
+    homography, so no labels are needed (same recipe as LightGlue's
+    homography pretraining stage, Lindenberger et al. 2023)."""
+    import optax
+
+    from ..slam.frontend import ClassicalFrontend
+
+    rng = np.random.default_rng(seed)
+    h, w = img_size
+    frontend = ClassicalFrontend(backend="xla")
+    extract = jax.jit(frontend.extract)
+    params = lightglue.init_params(
+        jax.random.PRNGKey(seed), frontend.descriptor_dim, dim, n_layers
+    )
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    size = (float(w), float(h))
+
+    @jax.jit
+    def step_fn(params, opt_state, d0, xy0, v0, d1, xy1, v1, gt_idx, gt_valid):
+        loss, grads = jax.value_and_grad(lightglue_frontend_loss)(
+            params, d0, xy0, v0, d1, xy1, v1, gt_idx, gt_valid, size
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        f0, f1, gt_idx, gt_valid = _homography_pair(rng, frontend, extract, h, w)
+        params, opt_state, loss = step_fn(
+            params, opt_state, f0.desc, f0.xy, f0.valid,
+            f1.desc, f1.xy, f1.valid,
+            jnp.asarray(gt_idx), jnp.asarray(gt_valid),
+        )
+        if log_every and i % log_every == 0:
+            print(f"lightglue-frontend step {i}: loss {float(loss):.4f}", flush=True)
+    return params
+
+
+def eval_lightglue_frontend(
+    params, n_pairs: int = 8, img_size: tuple = (160, 224), seed: int = 1,
+    threshold: float = 0.1,
+):
+    """Precision/recall of mutual-argmax matches vs homography GT on held-out
+    pairs (and the classical mutual-1NN matcher on the same pairs)."""
+    from ..ops.matching import match_frames
+    from ..slam.frontend import ClassicalFrontend
+
+    rng = np.random.default_rng(seed)
+    h, w = img_size
+    frontend = ClassicalFrontend(backend="xla")
+    extract = jax.jit(frontend.extract)
+    stats = {"lg": [0, 0, 0], "classical": [0, 0, 0]}  # correct, proposed, gt
+    for _ in range(n_pairs):
+        f0, f1, gt_idx, gt_valid = _homography_pair(rng, frontend, extract, h, w)
+        # GT indexed by image-1 keypoints (both matchers return that way).
+        gt1 = -np.ones(len(gt_idx), np.int64)
+        for i0 in np.nonzero(gt_valid)[0]:
+            gt1[gt_idx[i0]] = i0
+        lg = lightglue.match(
+            params, f0.desc, f0.xy, f0.valid, f1.desc, f1.xy, f1.valid,
+            (float(w), float(h)), threshold,
+        )
+        cl = match_frames(
+            f0.desc, f0.valid, f1.desc, f1.valid, frontend.max_distance
+        )
+        for name, fm in (("lg", lg), ("classical", cl)):
+            v = np.asarray(fm.valid)
+            ti = np.asarray(fm.train_idx)
+            stats[name][0] += int(np.sum(v & (ti == gt1)))
+            stats[name][1] += int(np.sum(v))
+            stats[name][2] += int(np.sum(gt1 >= 0))
+    out = {}
+    for name, (c, p, g) in stats.items():
+        out[name] = {
+            "precision": c / max(p, 1),
+            "recall": c / max(g, 1),
+            "proposed": p,
+            "gt": g,
+        }
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--out", type=Path, default=Path("weights"))
-    p.add_argument("--which", choices=["superpoint", "lightglue", "both"], default="both")
+    p.add_argument(
+        "--which",
+        choices=["superpoint", "lightglue", "lightglue-frontend", "both"],
+        default="both",
+    )
     args = p.parse_args(argv)
     args.out.mkdir(parents=True, exist_ok=True)
     if args.which in ("superpoint", "both"):
@@ -246,6 +390,11 @@ def main(argv=None):
         print(f"saved {args.out}/superpoint.npz")
     if args.which in ("lightglue", "both"):
         lg = train_lightglue(args.steps)
+        lightglue.save_params(args.out / "lightglue.npz", lg)
+        print(f"saved {args.out}/lightglue.npz")
+    if args.which == "lightglue-frontend":
+        lg = train_lightglue_frontend(args.steps)
+        print(eval_lightglue_frontend(lg))
         lightglue.save_params(args.out / "lightglue.npz", lg)
         print(f"saved {args.out}/lightglue.npz")
 

@@ -132,6 +132,10 @@ class MultiSlam:
         )
         self._mask = None if static_mask is None else jnp.asarray(static_mask)
         self.states: SlamState | None = None
+        # Per-sequence failure detection / recovery (parity with the
+        # single-sequence driver's reinit_on_lost; Slam._check_batch).
+        self._lost_streak = np.zeros(S, np.int64)
+        self.segments: list = []
         self.refine_every = refine_every
         self._refine = None
         self.refine_costs: list = []
@@ -189,10 +193,65 @@ class MultiSlam:
             )
             total += n
             batches += 1
+            if self.cfg.reinit_on_lost and batches % max(
+                1, self.cfg.lost_check_interval
+            ) == 0:
+                self._check_lost(infos, ns)
             if self._refine is not None and batches % self.refine_every == 0:
                 self.states, cost = self._refine(self.states)
                 self.refine_costs.append(cost)
         return total
+
+    # -- failure detection / recovery ---------------------------------------
+    def _check_lost(self, infos, ns: list[int]) -> None:
+        """Declare a sequence lost after `lost_patience` consecutive
+        low-match frames (same rule as Slam._check_batch), archive its
+        finished segment, and re-bootstrap it from its current stream
+        position — the other sequences keep tracking undisturbed."""
+        counts = np.asarray(infos.n_matches_total)  # [S, batch]
+        for i in range(len(self._slams)):
+            if ns[i] == 0:
+                continue
+            run = int(self._lost_streak[i])
+            for c in counts[i, : ns[i]]:
+                run = run + 1 if c < self.cfg.min_track_matches else 0
+            self._lost_streak[i] = run
+            if run >= self.cfg.lost_patience:
+                self._reinit_sequence(i)
+
+    def _reinit_sequence(self, i: int) -> None:
+        s = self._slams[i]
+        # Pull this sequence's row to the host, archive the segment, then
+        # re-run the two-view bootstrap on the single-chip path (it consumes
+        # frames from the same per-sequence decoder run_batched feeds from).
+        s.state = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x)[i]), self.states
+        )
+        self.segments.append(
+            dict(
+                seq=i,
+                poses=s.poses(),
+                frame_indices=s.keyframe_indices(),
+                points=s.points(),
+            )
+        )
+        K = s.state.last_feat.xy.shape[0]
+        s.state = SlamState.create(
+            F=self.cfg.max_keyframes,
+            P=self.cfg.map_capacity,
+            O=self.cfg.max_observations,
+            K=K,
+            D=self.frontend.descriptor_dim,
+        )
+        self._lost_streak[i] = 0
+        if not s.initialize():
+            return  # EOF during re-bootstrap: the sequence is done
+        self.states = shard_states(
+            jax.tree.map(
+                lambda big, one: big.at[i].set(one), self.states, s.state
+            ),
+            self.mesh,
+        )
 
     def refine_map(self):
         """Run one landmark-sharded full-map BA over all sequences now."""

@@ -51,6 +51,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "learned = SuperPoint-style network (reference deep path)")
     p.add_argument("--weights", type=Path, default=None,
                    help="superpoint .npz weights for --frontend learned")
+    p.add_argument("--matcher", choices=["classical", "lightglue"],
+                   default="classical",
+                   help="frame<->frame matcher: classical mutual-1NN or the "
+                        "trained LightGlue attention matcher "
+                        "(reference deep path, DeepFeatureExtractor.cpp:8)")
+    p.add_argument("--lightglue-weights", type=Path, default=None,
+                   help="lightglue .npz (default: packaged weights)")
     return p
 
 
@@ -74,6 +81,8 @@ def main(argv=None) -> int:
         essential_matrix_estimation=args.essential_matrix_estimation,
         max_keyframes=args.max_keyframes,
         map_capacity=args.map_capacity,
+        matcher=args.matcher,
+        lightglue_weights=str(args.lightglue_weights or ""),
     )
 
     gt_poses = None

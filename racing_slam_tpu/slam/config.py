@@ -73,6 +73,14 @@ class SlamConfig:
     init_ransac_hypotheses: int = 2048
     ransac_threshold_px: float = 0.4  # src/PoseEstimation.cpp:78
 
+    # Frame<->frame matcher: "classical" = mutual-1NN descriptor distance
+    # (the reference's BFMatcher, src/features/FeatureExtractor.cpp:9-24);
+    # "lightglue" = the trained attention matcher (models/lightglue.py,
+    # reference's lightglue-cpp role, src/features/DeepFeatureExtractor.cpp:8).
+    matcher: str = "classical"
+    # Path to trained LightGlue weights; "" = the packaged
+    # racing_slam_tpu/weights/lightglue.npz.
+    lightglue_weights: str = ""
     # Guided-matcher backend: "auto" = fused Pallas kernel on TPU, XLA
     # fallback elsewhere (interpret-mode Pallas is too slow for CPU runs).
     matching_backend: str = "auto"

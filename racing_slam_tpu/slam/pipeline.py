@@ -36,11 +36,11 @@ from ..ops import se3
 from ..ops.ba import HUBER_DELTA, BAProblem, motion_ba, structure_ba
 from ..ops.camera import Camera
 from ..ops.image import bilinear_sample
-from ..ops.matching import match_frames, match_map_to_frame, unmatched_mask
+from ..ops.matching import match_map_to_frame, unmatched_mask
 from ..ops.ransac import estimate_relative_pose
 from ..ops.triangulation import triangulate_points
 from .config import SlamConfig
-from .frontend import ClassicalFrontend
+from .frontend import ClassicalFrontend, LightGlueMatcher
 from .state import (
     Features,
     SlamState,
@@ -87,6 +87,7 @@ def _commit_keyframe(
     *,
     cam: Camera,
     cfg: SlamConfig,
+    matcher,
 ) -> SlamState:
     """The keyframe path (src/Slam.cpp:177-219 + cull 221-243), jit-safe."""
     F = cfg.max_keyframes
@@ -121,12 +122,13 @@ def _commit_keyframe(
 
     # Triangulate unmatched features vs the last keyframe (src/Slam.cpp:186-199).
     if cfg.triangulate_points:
-        fm = match_frames(
+        fm = matcher(
             kfs.desc[last_slot],
+            kfs.kp_xy[last_slot],
             kfs.kp_valid[last_slot],
             feat.desc,
+            feat.xy,
             feat.valid,
-            cfg.max_match_distance,
         )
         kp1_matched = kfs.matches[last_slot] >= 0
         kp2_matched = kfs.matches[slot] >= 0
@@ -223,12 +225,13 @@ def slam_step(
 
     # ---- Initial pose estimate (src/Slam.cpp:124-136) ----------------------
     if cfg.essential_matrix_estimation:
-        fm = match_frames(
+        fm = frontend.matcher(
             state.last_feat.desc,
+            state.last_feat.xy,
             state.last_feat.valid,
             feat.desc,
+            feat.xy,
             feat.valid,
-            frontend.max_distance,
         )
         uv1 = state.last_feat.xy[fm.train_idx]
         est = estimate_relative_pose(
@@ -338,7 +341,8 @@ def slam_step(
     state = jax.lax.cond(
         is_kf,
         lambda s: _commit_keyframe(
-            s, img, feat, rvec, t, matches, cam=cam, cfg=cfg
+            s, img, feat, rvec, t, matches, cam=cam, cfg=cfg,
+            matcher=frontend.matcher,
         ),
         lambda s: s,
         state,
@@ -427,12 +431,13 @@ def try_initialize(
     *,
     cam: Camera,
     cfg: SlamConfig,
-    max_distance: float,
+    matcher,
 ) -> InitAttempt:
     """One pairing attempt of the initializer (src/Init.cpp:38-57): match,
     estimate pose, count clean triangulations."""
-    fm = match_frames(
-        ref_feat.desc, ref_feat.valid, query_feat.desc, query_feat.valid, max_distance
+    fm = matcher(
+        ref_feat.desc, ref_feat.xy, ref_feat.valid,
+        query_feat.desc, query_feat.xy, query_feat.valid,
     )
     uv1 = ref_feat.xy[fm.train_idx]
     est = estimate_relative_pose(
@@ -574,6 +579,18 @@ class Slam:
             n_per_cell=config.n_per_cell,
             max_distance=config.max_match_distance,
         )
+        if config.matcher == "lightglue":
+            from pathlib import Path
+
+            from ..models import lightglue
+
+            wpath = config.lightglue_weights or str(
+                Path(__file__).resolve().parent.parent / "weights" / "lightglue.npz"
+            )
+            self.frontend.matcher = LightGlueMatcher(
+                lightglue.load_params(wpath),
+                image_size=(float(cam.width), float(cam.height)),
+            )
         K = self.frontend.num_keypoints(cam.height, cam.width)
         self.state = SlamState.create(
             F=config.max_keyframes,
@@ -604,7 +621,7 @@ class Slam:
                 try_initialize,
                 cam=cam,
                 cfg=config,
-                max_distance=self.frontend.max_distance,
+                matcher=self.frontend.matcher,
             )
         )
         self._commit_init = jax.jit(

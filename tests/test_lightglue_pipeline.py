@@ -1,0 +1,86 @@
+"""LightGlue attention matcher wired into the SLAM pipeline.
+
+The reference's deep path routes extraction through lightglue-cpp
+(src/features/DeepFeatureExtractor.cpp:8); here the attention matcher
+(models/lightglue.py) replaces the classical mutual-1NN at every
+frame<->frame matching site (bootstrap pairing, essential-path tracking,
+keyframe-commit triangulation) via SlamConfig.matcher="lightglue".
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from racing_slam_tpu.models import lightglue, train
+from racing_slam_tpu.ops.camera import Camera
+from racing_slam_tpu.slam.config import SlamConfig
+from racing_slam_tpu.slam.pipeline import Slam
+from racing_slam_tpu.utils.metrics import ate_rmse
+from racing_slam_tpu.utils.synthetic import make_sequence
+from racing_slam_tpu.utils.video import ArraySource
+
+WEIGHTS = Path(__file__).resolve().parent.parent / "racing_slam_tpu" / "weights" / "lightglue.npz"
+
+
+def _cam():
+    return Camera(fx=240.0, fy=240.0, cx=160.0, cy=120.0, width=320, height=240)
+
+
+def _cfg(**kw):
+    base = dict(
+        triangulate_points=True, bundle_adjust=True, optimize_pose=True,
+        cull_points=True, max_keyframes=8, map_capacity=1024,
+        max_observations=4, ba_iters=4, motion_ba_iters=4,
+        ransac_hypotheses=128, reinit_on_lost=False,
+    )
+    base.update(kw)
+    return SlamConfig(**base)
+
+
+def _run(cfg, seq, cam):
+    slam = Slam(cam, ArraySource(seq.frames), cfg)
+    assert slam.initialize(), "bootstrap failed"
+    slam.run()
+    kf_idx = slam.keyframe_indices()
+    return ate_rmse(slam.poses(), seq.poses[kf_idx]), int(slam.state.num_kf)
+
+
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="no committed weights")
+def test_lightglue_matcher_wiring(tmp_path):
+    """The matcher must carry the full pipeline end-to-end — bootstrap
+    (try_initialize), tracking, and keyframe-commit triangulation all route
+    frame matching through LightGlueMatcher — loading weights from an
+    explicit (non-default) path."""
+    params = lightglue.load_params(WEIGHTS)
+    wpath = tmp_path / "lg.npz"
+    lightglue.save_params(wpath, params)
+
+    cam = _cam()
+    seq = make_sequence(
+        np.random.default_rng(3), n_frames=10, cam=cam, n_sprites=140,
+        step_t=np.array([0.10, 0.01, 0.16], np.float32),
+    )
+    ate, n_kf = _run(
+        _cfg(matcher="lightglue", lightglue_weights=str(wpath)), seq, cam
+    )
+    assert n_kf >= 2
+    assert np.isfinite(ate)
+
+
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="no committed weights")
+def test_committed_weights_track_accurately():
+    """The committed weights (models/train.py, homography self-training on
+    real frontend descriptors) must track the synthetic benchmark world with
+    ATE comparable to the classical matcher."""
+    cam = _cam()
+    seq = make_sequence(
+        np.random.default_rng(11), n_frames=14, cam=cam, n_sprites=160,
+        step_t=np.array([0.10, 0.01, 0.16], np.float32),
+    )
+    ate_cl, _ = _run(_cfg(), seq, cam)
+    ate_lg, n_kf = _run(_cfg(matcher="lightglue"), seq, cam)
+    length = float(np.linalg.norm(seq.poses[-1][:3, 3] - seq.poses[0][:3, 3]))
+    assert n_kf >= 2
+    # Parity bar: within 2x of classical and under 10% of trajectory length.
+    assert ate_lg < max(2.0 * ate_cl, 0.1 * max(length, 1.0))

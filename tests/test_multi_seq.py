@@ -90,3 +90,40 @@ def test_multi_seq_state_is_sharded(tiny_world):
     # Every leaf's leading axis must be split over the seq axis.
     sh = ms.states.map.pos.sharding
     assert sh.spec[0] == "seq"
+
+
+def test_multi_seq_loss_recovery():
+    """Per-sequence failure recovery (MultiSlam._check_lost): a hard scene
+    cut in ONE sequence re-bootstraps only that sequence; the other keeps
+    tracking its map undisturbed."""
+    cam = Camera(fx=240.0, fy=240.0, cx=160.0, cy=120.0, width=320, height=240)
+    step = np.array([0.10, 0.01, 0.16], np.float32)
+    a = make_sequence(np.random.default_rng(5), n_frames=8, cam=cam,
+                      n_sprites=140, step_t=step)
+    b = make_sequence(np.random.default_rng(99), n_frames=8, cam=cam,
+                      n_sprites=140, step_t=step)
+    c = make_sequence(np.random.default_rng(7), n_frames=16, cam=cam,
+                      n_sprites=140, step_t=step)
+    cfg = SlamConfig(
+        triangulate_points=True, bundle_adjust=True, optimize_pose=True,
+        cull_points=True, max_keyframes=8, map_capacity=1024,
+        max_observations=4, ba_iters=2, motion_ba_iters=2,
+        ransac_hypotheses=64, reinit_on_lost=True, lost_check_interval=1,
+    )
+    mesh = make_mesh({"seq": 2, "lm": 4})
+    ms = MultiSlam(
+        cam,
+        [ArraySource(a.frames + b.frames), ArraySource(c.frames)],
+        mesh,
+        cfg,
+    )
+    assert ms.initialize()
+    ms.run_batched(batch=4)
+    # Sequence 0 hit the cut: its segment was archived and it re-bootstrapped.
+    assert len(ms.segments) >= 1
+    assert all(seg["seq"] == 0 for seg in ms.segments)
+    assert ms.segments[0]["poses"].shape[0] >= 2
+    states = ms.states_per_sequence()
+    # Both sequences end with live two-view-or-better maps.
+    assert int(states[0].num_kf) >= 2
+    assert int(states[1].num_kf) >= 2
