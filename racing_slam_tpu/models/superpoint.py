@@ -201,6 +201,11 @@ class SuperPointFrontend:
         self.n_per_cell = n_per_cell
         self.threshold = threshold
         self.max_distance = max_distance
+        from ..slam.frontend import ClassicalMatcher
+
+        # Frame<->frame matcher slot (same contract as ClassicalFrontend);
+        # Slam swaps in a LightGlueMatcher when cfg.matcher="lightglue".
+        self.matcher = ClassicalMatcher(max_distance)
 
     def num_keypoints(self, height: int, width: int) -> int:
         return self.n_per_cell * (-(-height // self.cell)) * (-(-width // self.cell))

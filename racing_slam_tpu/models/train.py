@@ -20,10 +20,17 @@ weights on the real chip.
 from __future__ import annotations
 
 import argparse
+import sys
 from functools import partial
 from pathlib import Path
 
 import jax
+
+# --cpu must take effect BEFORE the model-module imports below: one of them
+# creates device constants at import time, which locks in the default (TPU)
+# backend; jax.config.update in main() would then be too late.
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -382,7 +389,16 @@ def main(argv=None):
         choices=["superpoint", "lightglue", "lightglue-frontend", "both"],
         default="both",
     )
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the env var is too late once jax is "
+             "imported; SuperPoint's pooling gradient lowers to a "
+             "select-and-scatter XLA:TPU does not implement, so its "
+             "training currently needs CPU)",
+    )
     args = p.parse_args(argv)
+    if args.cpu and jax.default_backend() != "cpu":
+        jax.config.update("jax_platforms", "cpu")  # no-op if backend is live
     args.out.mkdir(parents=True, exist_ok=True)
     if args.which in ("superpoint", "both"):
         sp = train_superpoint(args.steps)

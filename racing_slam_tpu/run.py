@@ -58,6 +58,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(reference deep path, DeepFeatureExtractor.cpp:8)")
     p.add_argument("--lightglue-weights", type=Path, default=None,
                    help="lightglue .npz (default: packaged weights)")
+    p.add_argument("--interactive", action="store_true",
+                   help="step manually: wait for Enter between frames "
+                        "(q+Enter quits) — the reference's TAB-keypress "
+                        "stepping loop (src/main.cpp:109, "
+                        "src/Visualization.cpp:40-44); combine with "
+                        "--overlay-every 1 --out DIR for a per-frame view")
     return p
 
 
@@ -151,6 +157,12 @@ def main(argv=None) -> int:
     last_kf_count = int(slam.state.num_kf)
     t_start = time.time()
     while args.max_frames is None or n < args.max_frames:
+        if args.interactive and n > 0:
+            try:
+                if input("[Enter]=step  q=quit > ").strip().lower() == "q":
+                    break
+            except EOFError:
+                break
         with timer.stage("step", block_on=None):
             info = slam.step()
         if info is None:

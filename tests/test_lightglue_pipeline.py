@@ -84,3 +84,31 @@ def test_committed_weights_track_accurately():
     assert n_kf >= 2
     # Parity bar: within 2x of classical and under 10% of trajectory length.
     assert ate_lg < max(2.0 * ate_cl, 0.1 * max(length, 1.0))
+
+
+SP_WEIGHTS = WEIGHTS.parent / "superpoint.npz"
+
+
+@pytest.mark.skipif(not SP_WEIGHTS.exists(), reason="no committed weights")
+def test_superpoint_frontend_tracks():
+    """The committed SuperPoint weights (from-scratch self-training,
+    models/train.py) must carry the full pipeline: extraction -> matching ->
+    BA -> keyframing. Accuracy bar is loose — 400 CPU training steps give a
+    usable but not classical-grade detector (measured ATE ~0.24 on this
+    world vs ~0.05 classical)."""
+    from racing_slam_tpu.models.superpoint import SuperPointFrontend, load_params
+
+    cam = _cam()
+    seq = make_sequence(
+        np.random.default_rng(3), n_frames=10, cam=cam, n_sprites=140,
+        step_t=np.array([0.10, 0.01, 0.16], np.float32),
+    )
+    fe = SuperPointFrontend(params=load_params(SP_WEIGHTS))
+    slam = Slam(cam, ArraySource(seq.frames), _cfg(), frontend=fe)
+    assert slam.initialize(), "bootstrap failed with learned frontend"
+    slam.run()
+    kf_idx = slam.keyframe_indices()
+    ate = ate_rmse(slam.poses(), seq.poses[kf_idx])
+    length = float(np.linalg.norm(seq.poses[-1][:3, 3] - seq.poses[0][:3, 3]))
+    assert int(slam.state.num_kf) >= 2
+    assert np.isfinite(ate) and ate < 0.3 * max(length, 1.0)

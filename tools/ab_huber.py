@@ -20,6 +20,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Accuracy-only A/B: run on CPU so the chip stays free (and because the env
+# var is too late — the container pre-imports jax on the TPU backend).
+import jax  # noqa: E402
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 
 def run(huber_mode: str, seq, cam, cfg_kw):
     from racing_slam_tpu.slam.config import SlamConfig
