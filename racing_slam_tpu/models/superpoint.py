@@ -92,9 +92,14 @@ def _conv(x, w, b, stride=1):
 
 
 def _pool2(x):
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (2, 2, 1), (2, 2, 1), "VALID"
-    )
+    """Non-overlapping 2x2 max pool as reshape+max. Identical forward to
+    reduce_window max, but its GRADIENT lowers to ordinary equality/select
+    ops — reduce_window's backward is a select-and-scatter that XLA:TPU does
+    not implement, which previously forced SuperPoint training onto CPU."""
+    H, W, C = x.shape
+    Hp, Wp = H - (H % 2), W - (W % 2)
+    x = x[:Hp, :Wp]
+    return x.reshape(Hp // 2, 2, Wp // 2, 2, C).max(axis=(1, 3))
 
 
 def backbone(params: SuperPointParams, img: jnp.ndarray) -> jnp.ndarray:

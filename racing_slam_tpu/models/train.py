@@ -287,7 +287,8 @@ def _homography_pair(rng, frontend, extract, h, w, mag=0.12):
     return f0, f1, gt_idx, gt_valid
 
 
-def train_lightglue_frontend(
+def train_lightglue_on_frontend(
+    frontend,
     steps: int = 400,
     img_size: tuple = (160, 224),
     dim: int = 128,
@@ -296,18 +297,16 @@ def train_lightglue_frontend(
     seed: int = 0,
     log_every: int = 25,
 ) -> lightglue.LightGlueParams:
-    """Train LightGlue on REAL classical-frontend descriptors (128-d) of
-    homography-warped texture pairs — the weights the SLAM pipeline's
-    `matcher: lightglue` path loads. GT correspondence comes from the known
-    homography, so no labels are needed (same recipe as LightGlue's
+    """Train LightGlue on REAL frontend descriptors of homography-warped
+    texture pairs — the weights the SLAM pipeline's `matcher: lightglue`
+    path loads. Works for any frontend exposing extract()/descriptor_dim
+    (classical 128-d or SuperPoint 256-d). GT correspondence comes from the
+    known homography, so no labels are needed (same recipe as LightGlue's
     homography pretraining stage, Lindenberger et al. 2023)."""
     import optax
 
-    from ..slam.frontend import ClassicalFrontend
-
     rng = np.random.default_rng(seed)
     h, w = img_size
-    frontend = ClassicalFrontend(backend="xla")
     extract = jax.jit(frontend.extract)
     params = lightglue.init_params(
         jax.random.PRNGKey(seed), frontend.descriptor_dim, dim, n_layers
@@ -336,18 +335,46 @@ def train_lightglue_frontend(
     return params
 
 
-def eval_lightglue_frontend(
-    params, n_pairs: int = 8, img_size: tuple = (160, 224), seed: int = 1,
-    threshold: float = 0.1,
+def train_lightglue_frontend(steps: int = 400, **kw) -> lightglue.LightGlueParams:
+    """LightGlue on the classical frontend's 128-d descriptors (the packaged
+    weights/lightglue.npz recipe)."""
+    from ..slam.frontend import ClassicalFrontend
+
+    return train_lightglue_on_frontend(
+        ClassicalFrontend(backend="xla"), steps=steps, **kw
+    )
+
+
+def _superpoint_frontend(superpoint_weights=None):
+    from .superpoint import SuperPointFrontend, load_params as load_sp
+
+    params = load_sp(superpoint_weights) if superpoint_weights else None
+    return SuperPointFrontend(params=params)
+
+
+def train_lightglue_superpoint(
+    steps: int = 400, superpoint_weights=None, **kw
+) -> lightglue.LightGlueParams:
+    """LightGlue on the learned SuperPoint frontend's 256-d descriptors —
+    joins the reference's deep path (learned extractor + learned matcher,
+    src/features/DeepFeatureExtractor.cpp:8 + the lightglue submodule).
+    Saved as weights/lightglue_superpoint.npz; the pipeline loads it when
+    `--frontend learned --matcher lightglue`."""
+    return train_lightglue_on_frontend(
+        _superpoint_frontend(superpoint_weights), steps=steps, **kw
+    )
+
+
+def eval_lightglue_on_frontend(
+    params, frontend, n_pairs: int = 8, img_size: tuple = (160, 224),
+    seed: int = 1, threshold: float = 0.1,
 ):
     """Precision/recall of mutual-argmax matches vs homography GT on held-out
-    pairs (and the classical mutual-1NN matcher on the same pairs)."""
+    pairs (and the frontend's mutual-1NN matcher on the same pairs)."""
     from ..ops.matching import match_frames
-    from ..slam.frontend import ClassicalFrontend
 
     rng = np.random.default_rng(seed)
     h, w = img_size
-    frontend = ClassicalFrontend(backend="xla")
     extract = jax.jit(frontend.extract)
     stats = {"lg": [0, 0, 0], "classical": [0, 0, 0]}  # correct, proposed, gt
     for _ in range(n_pairs):
@@ -380,13 +407,40 @@ def eval_lightglue_frontend(
     return out
 
 
+def eval_lightglue_frontend(params, **kw):
+    from ..slam.frontend import ClassicalFrontend
+
+    return eval_lightglue_on_frontend(params, ClassicalFrontend(backend="xla"), **kw)
+
+
+def eval_lightglue_superpoint(params, superpoint_weights=None, **kw):
+    return eval_lightglue_on_frontend(
+        params, _superpoint_frontend(superpoint_weights), **kw
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--out", type=Path, default=Path("weights"))
     p.add_argument(
         "--which",
-        choices=["superpoint", "lightglue", "lightglue-frontend", "both"],
+        # "lightglue" (and "both") trains the PIPELINE-compatible recipe:
+        # LightGlue on real classical-frontend 128-d descriptors
+        # (train_lightglue_frontend) — the weights `--matcher lightglue`
+        # loads. "lightglue-toy" is the synthetic descriptor-cloud exercise
+        # (dim=64, incompatible with the pipeline) and saves under a distinct
+        # filename so it can never shadow the real weights.
+        # "lightglue-superpoint" trains a 256-d-input LightGlue on SuperPoint
+        # descriptors (needs weights/superpoint.npz or --steps for both).
+        choices=[
+            "superpoint",
+            "lightglue",
+            "lightglue-frontend",  # alias for "lightglue" (historical name)
+            "lightglue-superpoint",
+            "lightglue-toy",
+            "both",
+        ],
         default="both",
     )
     p.add_argument(
@@ -404,15 +458,26 @@ def main(argv=None):
         sp = train_superpoint(args.steps)
         superpoint.save_params(args.out / "superpoint.npz", sp)
         print(f"saved {args.out}/superpoint.npz")
-    if args.which in ("lightglue", "both"):
-        lg = train_lightglue(args.steps)
-        lightglue.save_params(args.out / "lightglue.npz", lg)
-        print(f"saved {args.out}/lightglue.npz")
-    if args.which == "lightglue-frontend":
+    if args.which in ("lightglue", "lightglue-frontend", "both"):
         lg = train_lightglue_frontend(args.steps)
         print(eval_lightglue_frontend(lg))
         lightglue.save_params(args.out / "lightglue.npz", lg)
         print(f"saved {args.out}/lightglue.npz")
+    if args.which in ("lightglue-superpoint", "both"):
+        sp_path = args.out / "superpoint.npz"
+        lg = train_lightglue_superpoint(
+            args.steps, superpoint_weights=sp_path if sp_path.exists() else None
+        )
+        print(eval_lightglue_superpoint(
+            lg, superpoint_weights=sp_path if sp_path.exists() else None
+        ))
+        lightglue.save_params(args.out / "lightglue_superpoint.npz", lg)
+        print(f"saved {args.out}/lightglue_superpoint.npz")
+    if args.which == "lightglue-toy":
+        lg = train_lightglue(args.steps)
+        lightglue.save_params(args.out / "lightglue_toy.npz", lg)
+        print(f"saved {args.out}/lightglue_toy.npz (synthetic descriptor-"
+              "cloud exercise; NOT loadable by the pipeline)")
 
 
 if __name__ == "__main__":
