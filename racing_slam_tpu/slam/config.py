@@ -106,6 +106,24 @@ class SlamConfig:
     # interval * patience frames).
     lost_check_interval: int = 4
 
+    # Periodic global refinement (new capability): every N processed frames,
+    # run a FULL bundle adjustment over ALL live keyframes and map points
+    # (gauge-anchored on the two oldest keyframes) in the single-sequence
+    # driver. The reference's only whole-map solve freezes every previous
+    # keyframe (src/Slam.cpp:202-213), so its early drift is locked in
+    # forever; periodic all-free refinement keeps the live window globally
+    # consistent and stops ATE growing with sequence length. 0 = off.
+    refine_every_frames: int = 0
+    refine_iters: int = 10
+
+    # Per-frame monitoring: the keyframe reprojection error in StepInfo is a
+    # full [F, K] projection pass over every keyframe's matches
+    # (state.keyframe_reprojection_error) — pure diagnostics the reference
+    # also recomputes every frame (src/main.cpp:106) but which taxes the
+    # fused hot loop. Compute it only every N-th frame (other frames carry
+    # the last computed value); 0 = never (reproj_error_px reads -1).
+    reproj_monitor_every: int = 1
+
 
 @dataclasses.dataclass
 class SequenceConfig:

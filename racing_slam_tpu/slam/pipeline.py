@@ -349,6 +349,34 @@ def slam_step(
     )
     state = state._replace(frame_count=state.frame_count + 1)
 
+    # Monitoring metric (reference prints it every frame, src/main.cpp:106).
+    # The [F, K] projection pass is pure diagnostics taxing the fused hot
+    # loop, so recompute only every reproj_monitor_every frames (0 = only at
+    # keyframe commits, where the map changed anyway).
+    every = cfg.reproj_monitor_every
+    if every == 1:
+        state = state._replace(
+            reproj_px=keyframe_reprojection_error(cam, state.map, state.kfs)
+        )
+    elif every > 1:
+        state = state._replace(
+            reproj_px=jax.lax.cond(
+                (state.frame_count % every == 0) | is_kf,
+                lambda s: keyframe_reprojection_error(cam, s.map, s.kfs),
+                lambda s: s.reproj_px,
+                state,
+            )
+        )
+    else:
+        state = state._replace(
+            reproj_px=jax.lax.cond(
+                is_kf,
+                lambda s: keyframe_reprojection_error(cam, s.map, s.kfs),
+                lambda s: s.reproj_px,
+                state,
+            )
+        )
+
     info = StepInfo(
         rvec=state.last_rvec,
         t=state.last_t,
@@ -358,7 +386,7 @@ def slam_step(
         is_keyframe=is_kf,
         n_points=state.map.num_points(),
         n_keyframes=state.num_kf,
-        reproj_error_px=keyframe_reprojection_error(cam, state.map, state.kfs),
+        reproj_error_px=state.reproj_px,
     )
     return state, info
 
@@ -375,7 +403,7 @@ def _null_info(state: SlamState) -> StepInfo:
         is_keyframe=jnp.bool_(False),
         n_points=z,
         n_keyframes=state.num_kf,
-        reproj_error_px=jnp.float32(0.0),
+        reproj_error_px=state.reproj_px.astype(jnp.float32),
     )
 
 
@@ -584,11 +612,33 @@ class Slam:
 
             from ..models import lightglue
 
-            wpath = config.lightglue_weights or str(
-                Path(__file__).resolve().parent.parent / "weights" / "lightglue.npz"
+            # Default weight file per frontend descriptor space: classical
+            # 128-d -> lightglue.npz; SuperPoint 256-d -> the jointly-trained
+            # lightglue_superpoint.npz (the reference's deep path: learned
+            # extractor feeding the learned matcher,
+            # src/features/DeepFeatureExtractor.cpp:8).
+            wdir = Path(__file__).resolve().parent.parent / "weights"
+            default = (
+                wdir / "lightglue_superpoint.npz"
+                if self.frontend.descriptor_dim != 128
+                and (wdir / "lightglue_superpoint.npz").exists()
+                else wdir / "lightglue.npz"
             )
+            wpath = config.lightglue_weights or str(default)
+            params = lightglue.load_params(wpath)
+            in_dim = params.in_proj_w.shape[0]
+            if in_dim != self.frontend.descriptor_dim:
+                raise ValueError(
+                    f"LightGlue weights at {wpath} take {in_dim}-d descriptors "
+                    f"but the {type(self.frontend).__name__} produces "
+                    f"{self.frontend.descriptor_dim}-d ones; pass matching "
+                    "weights via lightglue_weights (train with "
+                    "models.train --which lightglue for the classical "
+                    "frontend, --which lightglue-superpoint for the learned "
+                    "one)"
+                )
             self.frontend.matcher = LightGlueMatcher(
-                lightglue.load_params(wpath),
+                params,
                 image_size=(float(cam.width), float(cam.height)),
             )
         K = self.frontend.num_keypoints(cam.height, cam.width)
@@ -627,6 +677,31 @@ class Slam:
         self._commit_init = jax.jit(
             partial(commit_initialization, cam=cam, cfg=config)
         )
+        # Periodic global refinement (cfg.refine_every_frames): FULL bundle
+        # adjustment over all live keyframes + points with the two oldest
+        # keyframes as gauge anchors — the stage the reference's per-commit
+        # frozen-history BA (src/Slam.cpp:202-213) never had. Runs unsharded
+        # on this chip; MultiSlam has the landmark-sharded version
+        # (parallel/refine.py).
+        self._frames_since_refine = 0
+        self._refine_one = None
+        self.refine_costs: list = []
+        if config.refine_every_frames:
+            from ..ops.ba import full_ba
+            from ..parallel.refine import apply_refinement, build_global_problem
+
+            def _refine_fn(state: SlamState):
+                prob = build_global_problem(state)
+                res = full_ba(
+                    cam,
+                    prob,
+                    max_iters=config.refine_iters,
+                    huber_delta=_huber(config, cam),
+                )
+                return apply_refinement(state, res), res.cost
+
+            self._refine_one = jax.jit(_refine_fn)
+
         self.infos: list = []
         # Per-frame image retention for debug overlays (run.py --overlay-every;
         # reference equivalent: the main-loop image view, src/main.cpp:85-104).
@@ -719,6 +794,7 @@ class Slam:
             # (both the step dispatch and device_put are async).
             self._prefetched = self._decode_next()
             self.infos.append(info)
+            self._maybe_refine(1)
             if not self.cfg.reinit_on_lost:
                 return info
             # Sample the loss signal every lost_check_interval frames, and
@@ -734,6 +810,19 @@ class Slam:
                 return info
             # Tracking was lost and a re-bootstrap ran: continue with the
             # next frame on the fresh map.
+
+    def _maybe_refine(self, n_frames: int) -> None:
+        """Run the periodic global refinement once `refine_every_frames`
+        frames have accumulated (async dispatch; the cost scalar is read
+        later, never mid-pipeline)."""
+        if self._refine_one is None:
+            return
+        self._frames_since_refine += n_frames
+        if self._frames_since_refine < self.cfg.refine_every_frames:
+            return
+        self._frames_since_refine = 0
+        self.state, cost = self._refine_one(self.state)
+        self.refine_costs.append(cost)
 
     # -- failure detection / recovery (new capability; see SlamConfig) ------
     def _check_tracking(self, info: StepInfo) -> bool:
@@ -824,6 +913,7 @@ class Slam:
             )
             self.batch_infos.append(infos)
             total += n
+            self._maybe_refine(n)
             if not self.cfg.reinit_on_lost:
                 continue
             batches_since_check += 1

@@ -142,6 +142,11 @@ class SlamState(NamedTuple):
     # the matchers round descriptors to bf16 anyway (ops/matching.py), and
     # halving this largest state array halves the matcher's HBM reads.
     obs_desc: jnp.ndarray  # [P, O, D] bf16
+    # Cached monitoring metric (keyframe_reprojection_error): the full [F, K]
+    # projection pass is pure diagnostics, so SlamConfig.reproj_monitor_every
+    # controls how often it is recomputed; frames in between report this
+    # cached value (-1 before the first computation).
+    reproj_px: jnp.ndarray  # f32 scalar
 
     @staticmethod
     def create(F: int, P: int, O: int, K: int, D: int) -> "SlamState":
@@ -161,6 +166,7 @@ class SlamState(NamedTuple):
             last_matches=jnp.full((K,), NO_MATCH),
             frame_count=jnp.int32(0),
             obs_desc=jnp.zeros((P, O, D), jnp.bfloat16),
+            reproj_px=jnp.float32(-1.0),
         )
 
 

@@ -56,6 +56,7 @@ def load_state(path: str | Path) -> SlamState:
             last_matches=0,
             frame_count=0,
             obs_desc=0,
+            reproj_px=0,
         )
     )
     return jax.tree_util.tree_unflatten(

@@ -100,7 +100,7 @@ def main():
             )
     for mode in ("pixel", "reference"):
         ates = [r["pct_of_length"] for r in rows if r["huber_mode"] == mode]
-        print(f"mean ATE%% {mode}: {np.mean(ates):.3f} over {len(ates)} seeds")
+        print(f"mean ATE% {mode}: {np.mean(ates):.3f} over {len(ates)} seeds")
     return 0
 
 
