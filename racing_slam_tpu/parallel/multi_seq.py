@@ -1,4 +1,4 @@
-"""Data-parallel multi-sequence tracking over a device mesh.
+"""Data-parallel multi-sequence tracking over a (possibly multi-host) mesh.
 
 The reference processes exactly one video in one thread (src/main.cpp:72-111).
 The TPU deployment shape is a fleet: S independent sequences tracked
@@ -16,8 +16,20 @@ Design notes:
   of lockstep SPMD tracking; keyframe commits are a minority of frames, and
   all sequences share one compiled program.
 - Host side, each sequence keeps its own video decoder; frames are stacked
-  [S, N, H, W] and device_put with the sequence sharding, so each chip only
-  receives its own sequences' bytes.
+  [S_local, N, H, W] and assembled with the sequence sharding
+  (mesh.put_sharded), so each chip only receives its own sequences' bytes.
+
+Multi-host operation (jax.distributed, parallel/mesh.initialize_distributed):
+every process constructs MultiSlam with ONLY ITS OWN sequences' videos; the
+global sequence count is S_local summed over processes, and process p's j-th
+video maps to the j-th global row whose 'seq' shard lives on p's devices
+(`local_rows`). All processes run run_batched in lockstep (the jitted step is
+one SPMD program over the global mesh); control decisions — how many frames
+this batch, which sequences are lost — are made identically everywhere by
+allgathering the tiny per-sequence scalars, while pixel/state data never
+crosses hosts outside the jitted collectives. Loss recovery pulls only the
+ADDRESSABLE shards to the owning host, re-bootstraps there, and reassembles
+the global array from process-local rows.
 """
 
 from __future__ import annotations
@@ -50,6 +62,19 @@ def seq_sharding(mesh: Mesh, axis: str = "seq"):
 def shard_states(states: SlamState, mesh: Mesh, axis: str = "seq") -> SlamState:
     sh = seq_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), states)
+
+
+def local_row_indices(mesh: Mesh, S_global: int, axis: str = "seq") -> list[int]:
+    """Global sequence rows whose 'seq' shard lives on THIS process's devices
+    (sorted ascending). Single-process: all rows."""
+    sh = seq_sharding(mesh, axis)
+    pid = jax.process_index()
+    rows: set[int] = set()
+    for dev, idx in sh.devices_indices_map((S_global,)).items():
+        if dev.process_index == pid:
+            sl = idx[0]
+            rows.update(range(sl.start or 0, sl.stop or S_global))
+    return sorted(rows)
 
 
 def multi_sequence_step(
@@ -90,6 +115,10 @@ class MultiSlam:
     sequence on the single-chip path (it is control-flow heavy and happens
     once), then states are stacked and sharded.
 
+    `videos` are THIS process's sequences (all sequences when single-process).
+    On a multi-host mesh every process must construct MultiSlam and call
+    initialize()/run_batched() in lockstep; see the module docstring.
+
     When the mesh has an 'lm' axis, `refine_every > 0` runs a periodic
     landmark-sharded FULL bundle adjustment over every sequence's live map
     (parallel/refine.py) — the global-optimization stage the reference's
@@ -109,21 +138,31 @@ class MultiSlam:
         refine_every: int = 0,
         refine_iters: int = 10,
     ):
-        from ..slam.frontend import ClassicalFrontend
         from ..slam.pipeline import Slam
 
         self.mesh = mesh
         self.cam = cam
         self.cfg = config
-        S = len(videos)
-        if S % mesh.shape["seq"] != 0:
+        self.n_proc = jax.process_count()
+        S_local = len(videos)
+        self.S = S_local * self.n_proc  # global sequence count
+        if self.S % mesh.shape["seq"] != 0:
             raise ValueError(
-                f"{S} sequences not divisible by seq axis {mesh.shape['seq']}"
+                f"{self.S} sequences not divisible by seq axis "
+                f"{mesh.shape['seq']}"
             )
+        self.local_rows = local_row_indices(mesh, self.S)
+        if len(self.local_rows) != S_local:
+            raise ValueError(
+                f"this process's devices hold {len(self.local_rows)} sequence "
+                f"rows of the 'seq' sharding but {S_local} videos were given"
+            )
+        # Seed per GLOBAL row so every process derives identical PRNG streams
+        # and a multi-host run reproduces the single-process trajectories.
         self._slams = [
-            Slam(cam, v, config, static_mask=static_mask, seed=seed + i,
+            Slam(cam, v, config, static_mask=static_mask, seed=seed + g,
                  frontend=frontend)
-            for i, v in enumerate(videos)
+            for g, v in zip(self.local_rows, videos)
         ]
         self.frontend = self._slams[0].frontend
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
@@ -134,7 +173,10 @@ class MultiSlam:
         self.states: SlamState | None = None
         # Per-sequence failure detection / recovery (parity with the
         # single-sequence driver's reinit_on_lost; Slam._check_batch).
-        self._lost_streak = np.zeros(S, np.int64)
+        # Streak counters are GLOBAL (every process tracks all sequences so
+        # loss decisions are made identically everywhere).
+        self._lost_streak = np.zeros(self.S, np.int64)
+        self.finished = np.zeros(self.S, bool)  # EOF hit during re-bootstrap
         self.segments: list = []
         self.refine_every = refine_every
         self._refine = None
@@ -151,39 +193,94 @@ class MultiSlam:
                 cam, mesh, max_iters=refine_iters,
             )
 
+    # -- tiny cross-process helpers (no-ops at 1 process) --------------------
+    def _allgather(self, x: np.ndarray) -> np.ndarray:
+        """[S_local, ...] per-process -> [S_global, ...] on every process,
+        rows ordered by global index (processes own ascending row blocks)."""
+        if self.n_proc == 1:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        out = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+        return out.reshape((-1,) + out.shape[2:])
+
+    def _read_rows(self, arr) -> np.ndarray:
+        """Seq-sharded device array [S_global, ...] -> global np array on
+        every process (addressable shards + allgather)."""
+        if self.n_proc == 1:
+            return np.asarray(arr)
+        return self._allgather(self._local_leaf(arr))
+
+    def _local_leaf(self, arr) -> np.ndarray:
+        """[S_global, ...] seq-sharded leaf -> this process's [S_local, ...]
+        rows (addressable shards only, deduped across 'lm' replication)."""
+        by_start: dict[int, np.ndarray] = {}
+        for s in arr.addressable_shards:
+            sl = s.index[0] if s.index else slice(None)
+            start = sl.start or 0
+            if start not in by_start:
+                by_start[start] = np.asarray(s.data)
+        return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
+
+    def _host_local_states(self) -> SlamState:
+        """Pull this process's rows of the stacked state to host numpy."""
+        return jax.tree.map(self._local_leaf, self.states)
+
+    def _put_states(self, local_states) -> SlamState:
+        """Assemble the global stacked state from process-local rows."""
+        sh = seq_sharding(self.mesh)
+        return jax.tree.map(
+            lambda x: put_sharded(np.asarray(x), sh), local_states
+        )
+
+    # -- lifecycle -----------------------------------------------------------
     def initialize(self) -> bool:
         ok = all(s.initialize() for s in self._slams)
+        ok = bool(np.all(self._allgather(np.array([ok]))))
         if not ok:
             return False
-        self.states = shard_states(
-            jax.tree.map(lambda *xs: jnp.stack(xs), *[s.state for s in self._slams]),
-            self.mesh,
+        self.states = self._put_states(
+            jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[s.state for s in self._slams],
+            )
         )
         return True
 
     def run_batched(self, max_frames: int | None = None, batch: int = 16) -> int:
         """Step every sequence `batch` frames per dispatch until all EOF."""
         assert self.states is not None, "call initialize() first"
-        S = len(self._slams)
+        S_local = len(self._slams)
         total = 0
         batches = 0
         sh = seq_sharding(self.mesh)
+        # Loss detection reads the PREVIOUS batch's infos each iteration: by
+        # then its scalars have finished computing (the current batch was
+        # dispatched on top), so the readback never stalls the pipeline, and
+        # every batch's match counts feed the streak counters (same pattern
+        # as Slam.run_batched).
+        pending: tuple | None = None
         while max_frames is None or total < max_frames:
             want = batch if max_frames is None else min(batch, max_frames - total)
             frames = [s._decode_batch(want) for s in self._slams]
             ns = [len(f) for f in frames]
-            n = max(ns)
+            ns_global = self._allgather(np.asarray(ns))
+            n = int(ns_global.max()) if len(ns_global) else 0
             if n == 0:
                 break
             H, W = self.cam.height, self.cam.width
-            imgs = np.zeros((S, batch, H, W), np.uint8)
-            active = np.zeros((S, batch), bool)
+            imgs = np.zeros((S_local, batch, H, W), np.uint8)
+            active = np.zeros((S_local, batch), bool)
             for i, fl in enumerate(frames):
                 for j, f in enumerate(fl):
                     imgs[i, j] = f
                     active[i, j] = True
+            # Derive the GLOBAL key table and slice this process's rows, so
+            # every sequence sees the same stream regardless of process count.
             self._key, k = jax.random.split(self._key)
-            keys = jax.random.split(k, S * batch).reshape(S, batch, -1)
+            keys = np.asarray(
+                jax.random.split(k, self.S * batch)
+            ).reshape(self.S, batch, -1)[self.local_rows]
             self.states, infos = self._step(
                 self.states,
                 put_sharded(imgs, sh),
@@ -193,43 +290,57 @@ class MultiSlam:
             )
             total += n
             batches += 1
-            if self.cfg.reinit_on_lost and batches % max(
-                1, self.cfg.lost_check_interval
-            ) == 0:
-                self._check_lost(infos, ns)
+            if self.cfg.reinit_on_lost:
+                if pending is not None:
+                    self._check_lost(*pending)
+                pending = (infos, ns_global)
             if self._refine is not None and batches % self.refine_every == 0:
                 self.states, cost = self._refine(self.states)
                 self.refine_costs.append(cost)
+        # Drain the final pending check (its batch has finished by now) so a
+        # sequence lost in the last batch still gets its segment archived.
+        if pending is not None:
+            self._check_lost(*pending)
         return total
 
     # -- failure detection / recovery ---------------------------------------
-    def _check_lost(self, infos, ns: list[int]) -> None:
+    def _check_lost(self, infos, ns_global: np.ndarray) -> None:
         """Declare a sequence lost after `lost_patience` consecutive
         low-match frames (same rule as Slam._check_batch), archive its
         finished segment, and re-bootstrap it from its current stream
-        position — the other sequences keep tracking undisturbed."""
-        counts = np.asarray(infos.n_matches_total)  # [S, batch]
-        for i in range(len(self._slams)):
-            if ns[i] == 0:
+        position — the other sequences keep tracking undisturbed. Runs the
+        SAME decision on every process (global counts); only the owning
+        process touches the lost sequence's data."""
+        counts = self._read_rows(infos.n_matches_total)  # [S_global, batch]
+        lost: list[int] = []
+        for g in range(self.S):
+            if ns_global[g] == 0 or self.finished[g]:
                 continue
-            run = int(self._lost_streak[i])
-            for c in counts[i, : ns[i]]:
+            run = int(self._lost_streak[g])
+            for c in counts[g, : ns_global[g]]:
                 run = run + 1 if c < self.cfg.min_track_matches else 0
-            self._lost_streak[i] = run
+            self._lost_streak[g] = run
             if run >= self.cfg.lost_patience:
-                self._reinit_sequence(i)
+                lost.append(g)
+        if not lost:
+            return
+        local = self._host_local_states()
+        for g in lost:
+            self._lost_streak[g] = 0
+            if g in self.local_rows:
+                local = self._reinit_sequence(g, local)
+        self.states = self._put_states(local)
 
-    def _reinit_sequence(self, i: int) -> None:
+    def _reinit_sequence(self, g: int, local: SlamState) -> SlamState:
+        """Archive global sequence g's segment and re-bootstrap it from its
+        current stream position. `local` is this process's host-side rows;
+        returns it with row g replaced (blank if EOF hit re-bootstrapping)."""
+        i = self.local_rows.index(g)
         s = self._slams[i]
-        # Pull this sequence's row to the host, archive the segment, then
-        # re-run the two-view bootstrap on the single-chip path (it consumes
-        # frames from the same per-sequence decoder run_batched feeds from).
-        s.state = jax.tree.map(
-            lambda x: jnp.asarray(np.asarray(x)[i]), self.states
-        )
+        s.state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[i]), local)
         self.segments.append(
             dict(
-                seq=i,
+                seq=g,
                 poses=s.poses(),
                 frame_indices=s.keyframe_indices(),
                 points=s.points(),
@@ -243,15 +354,22 @@ class MultiSlam:
             K=K,
             D=self.frontend.descriptor_dim,
         )
-        self._lost_streak[i] = 0
         if not s.initialize():
-            return  # EOF during re-bootstrap: the sequence is done
-        self.states = shard_states(
-            jax.tree.map(
-                lambda big, one: big.at[i].set(one), self.states, s.state
-            ),
-            self.mesh,
-        )
+            # EOF during re-bootstrap: the sequence is finished. Still write
+            # the blank reset state back so later refine/accessor passes do
+            # not keep operating on the archived lost map (the zero valid
+            # masks make the blank row a no-op in refinement).
+            self.finished[g] = True
+        return self._set_row(local, i, s.state)
+
+    @staticmethod
+    def _set_row(local: SlamState, i: int, one: SlamState) -> SlamState:
+        def leaf(row, x):
+            row = np.array(row)  # copy
+            row[i] = np.asarray(x)
+            return row
+
+        return jax.tree.map(leaf, local, one)
 
     def refine_map(self):
         """Run one landmark-sharded full-map BA over all sequences now."""
@@ -261,7 +379,10 @@ class MultiSlam:
         return cost
 
     def states_per_sequence(self) -> list[SlamState]:
+        """This process's sequences' states (all of them single-process),
+        in `videos` order."""
+        local = self._host_local_states()
         return [
-            jax.tree.map(lambda x: np.asarray(x)[i], self.states)
+            jax.tree.map(lambda x: np.asarray(x)[i], local)
             for i in range(len(self._slams))
         ]

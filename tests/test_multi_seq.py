@@ -98,11 +98,14 @@ def test_multi_seq_loss_recovery():
     tracking its map undisturbed."""
     cam = Camera(fx=240.0, fy=240.0, cx=160.0, cy=120.0, width=320, height=240)
     step = np.array([0.10, 0.01, 0.16], np.float32)
+    # Loss detection reads the PREVIOUS batch's counts (lag-1, stall-free —
+    # see MultiSlam.run_batched), so sequence 0 needs enough post-cut frames
+    # to be detected one batch late and still re-bootstrap before EOF.
     a = make_sequence(np.random.default_rng(5), n_frames=8, cam=cam,
                       n_sprites=140, step_t=step)
-    b = make_sequence(np.random.default_rng(99), n_frames=8, cam=cam,
+    b = make_sequence(np.random.default_rng(99), n_frames=14, cam=cam,
                       n_sprites=140, step_t=step)
-    c = make_sequence(np.random.default_rng(7), n_frames=16, cam=cam,
+    c = make_sequence(np.random.default_rng(7), n_frames=22, cam=cam,
                       n_sprites=140, step_t=step)
     cfg = SlamConfig(
         triangulate_points=True, bundle_adjust=True, optimize_pose=True,
