@@ -73,3 +73,22 @@ def test_fused_keypoints_match_xla_detector(rng):
         < 0.51
     ).mean()
     assert close > 0.98, f"xy agreement {close}"
+
+
+def test_fused_720_rows_nine_bands(rng):
+    """720-row image = 9 TILE_H bands (the 1280x720 tiling; width kept small
+    for interpret-mode speed — the band canvas is row-tiled only, so the
+    9-band path is exactly what full 720p exercises on the chip, where
+    bench.py --res 720 records the real-resolution datapoint)."""
+    img = jnp.asarray(random_texture(720, 256, rng))
+    score_x, peaks_x = _xla_maps(img)
+    score_f, peaks_f, blur_f = corner_frontend_fused(img, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(score_f), np.asarray(score_x), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(peaks_f), np.asarray(peaks_x), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(blur_f), np.asarray(gaussian_blur(img, 2.0)), atol=1e-5
+    )

@@ -1,8 +1,11 @@
-"""Per-stage wall-clock profile of the tracking step on the live backend.
+"""Per-stage wall-clock + roofline profile of the tracking step.
 
 Times each stage of slam_step in isolation (jitted, block_until_ready) at the
-bench.py shapes, so optimization effort lands on the real bottleneck. Run on
-the TPU chip (default backend) — CPU numbers are not representative.
+bench.py shapes, so optimization effort lands on the real bottleneck, and —
+via XLA's own cost model (compiled.cost_analysis()) — reports each stage's
+achieved FLOP/s and bytes/s against the chip's peaks: the speed-of-light
+table BASELINE.md publishes. Run on the TPU chip (default backend) — CPU
+numbers are not representative.
 
 Usage: python tools/profile_step.py [--reps 30]
 """
@@ -20,6 +23,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Chip peaks for the roofline denominator, keyed on jax.devices()[0].device_kind.
+# TPU v5e: 197 TFLOP/s bf16 MXU (f32 runs at ~1/4 of that), 819 GB/s HBM.
+CHIP_PEAKS = {
+    "TPU v5 lite": dict(flops_bf16=197e12, flops_f32=49e12, hbm=819e9),
+    "TPU v5e": dict(flops_bf16=197e12, flops_f32=49e12, hbm=819e9),
+    "TPU v4": dict(flops_bf16=275e12, flops_f32=69e12, hbm=1228e9),
+}
+
+ROWS: list[dict] = []
+
 
 def timeit(name, fn, *args, reps=30):
     fn(*args)  # compile
@@ -30,8 +43,51 @@ def timeit(name, fn, *args, reps=30):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps * 1e3
+    flops = bytes_ = None
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if ca:
+            flops = ca.get("flops")
+            bytes_ = ca.get("bytes accessed")
+    except Exception:
+        pass
+    ROWS.append(dict(name=name, ms=dt, flops=flops, bytes=bytes_))
     print(f"{name:38s} {dt:8.3f} ms")
     return dt
+
+
+def roofline_table():
+    kind = jax.devices()[0].device_kind
+    peaks = CHIP_PEAKS.get(kind)
+    print(f"\n== speed-of-light table ({kind}) ==")
+    if peaks is None:
+        print(f"no peak numbers for '{kind}'; raw achieved rates only")
+    hdr = (f"{'stage':38s} {'ms':>8s} {'GFLOP':>8s} {'MB':>8s} "
+           f"{'GF/s':>8s} {'GB/s':>7s} {'%MXU':>6s} {'%HBM':>6s}  bound")
+    print(hdr)
+    for r in ROWS:
+        if r["flops"] is None or r["ms"] <= 0:
+            print(f"{r['name']:38s} {r['ms']:8.3f} {'-':>8s}")
+            continue
+        t = r["ms"] * 1e-3
+        gf = r["flops"] / 1e9
+        mb = (r["bytes"] or 0) / 1e6
+        gfs = gf / t
+        gbs = (r["bytes"] or 0) / 1e9 / t
+        if peaks:
+            # f32 MXU peak: the pipeline's matmuls are bf16-input where it
+            # matters (matching), f32 elsewhere; report against the f32 MXU
+            # peak as the conservative compute ceiling.
+            pct_mxu = 100 * gfs * 1e9 / peaks["flops_f32"]
+            pct_hbm = 100 * gbs * 1e9 / peaks["hbm"]
+            bound = "compute" if pct_mxu > pct_hbm else "memory"
+            sol = max(pct_mxu, pct_hbm)
+            print(f"{r['name']:38s} {r['ms']:8.3f} {gf:8.2f} {mb:8.1f} "
+                  f"{gfs:8.1f} {gbs:7.1f} {pct_mxu:6.1f} {pct_hbm:6.1f}  "
+                  f"{bound} ({sol:.0f}% of light)")
+        else:
+            print(f"{r['name']:38s} {r['ms']:8.3f} {gf:8.2f} {mb:8.1f} "
+                  f"{gfs:8.1f} {gbs:7.1f}")
 
 
 def main():
@@ -168,6 +224,16 @@ def main():
     stepb = jax.jit(partial(slam_step_batch, cam=cam, cfg=cfg, frontend=frontend))
     dt = timeit("slam_step_batch (16)", stepb, state, imgs, keys, active, None, reps=max(3, reps // 4))
     print(f"  -> per frame: {dt / B:.3f} ms ({1e3 / (dt / B):.1f} fps)")
+
+    # periodic global refinement (full_ba over all live keyframes + points)
+    from racing_slam_tpu.ops.ba import full_ba
+    from racing_slam_tpu.parallel.refine import build_global_problem
+
+    gprob = jax.jit(build_global_problem)(state)
+    fba = jax.jit(partial(full_ba, max_iters=10))
+    timeit("full_ba (global refine, 10 iters)", fba, cam, gprob, reps=reps)
+
+    roofline_table()
 
 
 if __name__ == "__main__":
