@@ -71,13 +71,20 @@ def apply_refinement(state: SlamState, res: BAResult) -> SlamState:
     """
     kfs = state.kfs
     slot = state.last_kf_slot
-    # Relative correction of the last keyframe: T_new @ inv(T_old).
+    # Preserve the relative pose last-frame <- last-keyframe across the
+    # refinement: with world->camera poses, rel = T_last @ inv(T_kf), so
+    # T_last_new = T_last @ inv(T_kf_old) @ T_kf_new (RIGHT-composition —
+    # the correction acts in the keyframe's world parametrization, not the
+    # last frame's camera frame).
     from ..ops import se3
 
     T_old = se3.pose_matrix(kfs.rvec[slot], kfs.t[slot])
     T_new = se3.pose_matrix(res.cam_rvec[slot], res.cam_t[slot])
-    corr = T_new @ se3.inverse(T_old)
-    T_last = corr @ se3.pose_matrix(state.last_rvec, state.last_t)
+    T_last = (
+        se3.pose_matrix(state.last_rvec, state.last_t)
+        @ se3.inverse(T_old)
+        @ T_new
+    )
     last_rvec, last_t = se3.rt_from_matrix(T_last)
 
     return state._replace(

@@ -58,6 +58,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(reference deep path, DeepFeatureExtractor.cpp:8)")
     p.add_argument("--lightglue-weights", type=Path, default=None,
                    help="lightglue .npz (default: packaged weights)")
+    p.add_argument("--refine-every", type=int, default=0,
+                   help="run a FULL bundle adjustment over all live "
+                        "keyframes+points every N frames (0=off) — stops "
+                        "drift growing with sequence length (the reference's "
+                        "per-commit BA freezes all previous keyframes, "
+                        "src/Slam.cpp:202-213)")
+    p.add_argument("--monitor-every", type=int, default=1,
+                   help="recompute the per-frame reprojection-error monitor "
+                        "every N frames (1=reference parity, 0=only at "
+                        "keyframe commits; the [F,K] pass is pure "
+                        "diagnostics)")
     p.add_argument("--interactive", action="store_true",
                    help="step manually: wait for Enter between frames "
                         "(q+Enter quits) — the reference's TAB-keypress "
@@ -89,6 +100,8 @@ def main(argv=None) -> int:
         map_capacity=args.map_capacity,
         matcher=args.matcher,
         lightglue_weights=str(args.lightglue_weights or ""),
+        refine_every_frames=args.refine_every,
+        reproj_monitor_every=args.monitor_every,
     )
 
     gt_poses = None
@@ -121,8 +134,12 @@ def main(argv=None) -> int:
     if args.frontend == "learned":
         from .models.superpoint import SuperPointFrontend, load_params
 
-        params = load_params(args.weights) if args.weights else None
-        if not args.weights:
+        wpath = args.weights
+        if wpath is None:
+            packaged = Path(__file__).resolve().parent / "weights" / "superpoint.npz"
+            wpath = packaged if packaged.exists() else None
+        params = load_params(wpath) if wpath else None
+        if params is None:
             print("note: --frontend learned with RANDOM weights "
                   "(train via python -m racing_slam_tpu.models.train)")
         frontend = SuperPointFrontend(params=params, cell=cfg.cell,

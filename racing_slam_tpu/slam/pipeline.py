@@ -698,7 +698,21 @@ class Slam:
                     max_iters=config.refine_iters,
                     huber_delta=_huber(config, cam),
                 )
-                return apply_refinement(state, res), res.cost
+                state = apply_refinement(state, res)
+                # Post-refine outlier rejection (same 3 px rule as the
+                # commit path, src/Slam.cpp:221-243): a full-window BA has
+                # no other defense against bad associations — without this
+                # cull they drag every pose they touch.
+                if config.cull_points:
+                    err, has_obs = point_reprojection_errors(
+                        cam, state.map, state.kfs
+                    )
+                    remove = (
+                        state.map.valid & has_obs & (err > config.cull_reproj_px)
+                    )
+                    m2, kfs2 = remove_points(state.map, state.kfs, remove)
+                    state = state._replace(map=m2, kfs=kfs2)
+                return state, res.cost
 
             self._refine_one = jax.jit(_refine_fn)
 
