@@ -103,6 +103,12 @@ def run_one(seed: int, cam, cfg, variant: str, n_frames: int, batch: int,
 
     t0 = time.time()
     seq = render(seed, cam, n_frames)
+    # Convert to uint8 ONCE at render time: a real deployment decodes uint8
+    # video; per-batch float->uint8 conversion in the driver costs ~0.5
+    # ms/frame of pure host time at 640x480.
+    seq.frames = [
+        np.clip(f * 255.0, 0, 255).astype(np.uint8) for f in seq.frames
+    ]
     mask = make_mask(cam) if masked else None
     log(f"seed {seed}: rendered {len(seq.frames)} frames in {time.time()-t0:.1f}s")
 
@@ -203,6 +209,9 @@ def main():
     ap.add_argument("--masked", action="store_true")
     ap.add_argument("--refine-every", type=int, default=None,
                     help="override refine_every_frames (default: engine pick)")
+    ap.add_argument("--local-ba-window", type=int, default=8,
+                    help="keyframes freed by the commit-time local BA "
+                         "(1 = reference shape: newest only)")
     args = ap.parse_args()
 
     import jax
@@ -233,7 +242,8 @@ def main():
         # Periodic global refinement over the live keyframe window: kills
         # the length-proportional drift of the frozen-history commit BA.
         refine_every_frames=(args.refine_every
-                             if args.refine_every is not None else 48),
+                             if args.refine_every is not None else 16),
+        local_ba_window=args.local_ba_window,
     )
 
     results = []

@@ -490,8 +490,18 @@ def build_reduced_system(
     # contributes nothing).
     onehot = (safe_cam[..., None] == jnp.arange(F)).astype(jnp.float32)  # [P,O,F]
 
-    Hcc = jnp.einsum("pof,porj,pork->fjk", onehot, Jc_w, Jc)  # [F, 6, 6]
-    g_c = jnp.einsum("pof,porj,por->fj", onehot, Jc_w, r)  # [F, 6]
+    # Camera blocks, STAGED as (per-observation outer products) @ one-hot:
+    # the single 3-operand einsum ("pof,porj,pork->fjk") lets XLA pick a
+    # contraction order that materializes a [P, O, F, 2, 6] intermediate —
+    # ~50 MB per LM iteration at bench shapes, the dominant HBM traffic of
+    # the whole solver. Two explicit matmuls keep every intermediate at
+    # [N, 36] (N = P*O) and run on the MXU.
+    N = P * O
+    oh_n = onehot.reshape(N, F)
+    G = jnp.einsum("nri,nrj->nij", Jc_w.reshape(N, 2, 6), Jc.reshape(N, 2, 6))
+    Hcc = (oh_n.T @ G.reshape(N, 36)).reshape(F, 6, 6)  # [F, 6, 6]
+    g_cn = jnp.einsum("nri,nr->ni", Jc_w.reshape(N, 2, 6), r.reshape(N, 2))
+    g_c = oh_n.T @ g_cn  # [F, 6]
 
     # Point blocks.
     Jp_w = Jp * w[..., None, None]  # [P, O, 2, 3]
@@ -712,6 +722,129 @@ def structure_ba(
     )
     return BAResult(
         cam_rvec=cam_rvec, cam_t=cam_t, points=points, cost=cost, num_residuals=n_res
+    )
+
+
+@f32_precision
+def window_ba(
+    cam: Camera,
+    prob: BAProblem,
+    free_slots: jnp.ndarray,  # [W] i32 camera slots to optimize (-1 = unused)
+    max_iters: int = MAX_ITERS,
+    init_lambda: float = 1e-4,
+    huber_delta: float = HUBER_DELTA,
+) -> BAResult:
+    """Schur LM with a SMALL static window of free cameras (local BA).
+
+    Generalizes structure_ba (W=1, the reference's exact per-commit shape,
+    src/Slam.cpp:202-213) to the W newest keyframes free at once: the drift
+    the reference locks into frozen history gets re-solved while it is still
+    cheap. Unlike full_ba, every coupling tensor is [P, W, ...] instead of
+    [P, F, ...] — W is 4-8 so the per-iteration HBM traffic stays close to
+    the single-camera solver's. `prob.cam_free` is ignored; the free set is
+    exactly the valid entries of `free_slots` (invalid = -1). Frozen cameras
+    anchor through the point blocks as usual.
+    """
+    F = prob.cam_rvec.shape[0]
+    P, O = prob.obs_cam.shape
+    W = free_slots.shape[0]
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+    slot_ok = free_slots >= 0  # [W]
+    n_res = jnp.sum(
+        prob.obs_valid
+        & prob.cam_in_problem[jnp.clip(prob.obs_cam, 0, F - 1)]
+        & prob.point_in_problem[:, None]
+    )
+    # Per-observation window one-hot: obs_cam == free_slots[w] (invalid
+    # slots are -1 and never match a clipped cam id).
+    onehot = (
+        prob.obs_cam[..., None] == jnp.where(slot_ok, free_slots, -2)
+    ).astype(jnp.float32)  # [P, O, W]
+    oh_n = onehot.reshape(P * O, W)
+
+    def cond_fn(state):
+        return (state[5] < max_iters) & ~state[6]
+
+    def body(state):
+        cam_rvec, cam_t, points, lam, cost, it, _ = state
+        cur = prob._replace(cam_rvec=cam_rvec, cam_t=cam_t, points=points)
+        r, s, w, Jc, Jp, include, safe_cam = _obs_terms(cam, cur, huber_delta)
+        N = P * O
+        Jc_w = (Jc * w[..., None, None]).reshape(N, 2, 6)
+        Jc_n = Jc.reshape(N, 2, 6)
+
+        # Window camera blocks (staged matmuls; see build_reduced_system).
+        G = jnp.einsum("nri,nrj->nij", Jc_w, Jc_n).reshape(N, 36)
+        Hcc = (oh_n.T @ G).reshape(W, 6, 6)
+        g_cn = jnp.einsum("nri,nr->ni", Jc_w, r.reshape(N, 2))
+        g_c = oh_n.T @ g_cn  # [W, 6]
+
+        # Point blocks over ALL included observations (frozen cams anchor).
+        Jp_w = Jp * w[..., None, None]
+        Hpp = jnp.einsum("pori,porj->pij", Jp_w, Jp)
+        g_p = jnp.einsum("pori,por->pi", Jp_w, r)
+        Wblk = jnp.einsum("pori,porj->poij", Jc_w.reshape(P, O, 2, 6), Jp)
+
+        dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+        Hpp_d = Hpp + lam * dpp[..., :, None] * eye3 + 1e-9 * eye3
+        Hpp_inv = inv3x3(Hpp_d) * prob.point_free[:, None, None]
+
+        Y = jnp.einsum("pow,poik->pwik", onehot, Wblk)  # [P, W, 6, 3]
+        Z = jnp.einsum("pwik,pkl->pwil", Y, Hpp_inv)
+        S_coup = jnp.einsum("pail,pbjl->abij", Z, Y)  # [W, W, 6, 6]
+        dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+        Hcc_d = Hcc + lam * dcc[..., :, None] * eye6 + 1e-9 * eye6
+        S = -S_coup
+        S = S.at[jnp.arange(W), jnp.arange(W)].add(Hcc_d)
+        g_red = g_c - jnp.einsum("pwik,pk->wi", Z, g_p)
+
+        delta_c = solve_camera_system(S, g_red, slot_ok)  # [W, 6]
+
+        # Back-substitute: per-observation camera delta via the one-hot.
+        dc = jnp.einsum("pow,wj->poj", onehot, delta_c)  # [P, O, 6]
+        Wt_dc = jnp.einsum("poij,poi->pj", Wblk, dc)
+        delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + Wt_dc)
+
+        tgt = jnp.where(slot_ok, free_slots, F).astype(jnp.int32)
+        cam_rvec_new = cam_rvec.at[tgt].add(delta_c[:, :3], mode="drop")
+        cam_t_new = cam_t.at[tgt].add(delta_c[:, 3:], mode="drop")
+        points_new = points + delta_p * prob.point_free[:, None]
+
+        new_cost = _problem_cost(
+            cam,
+            prob._replace(
+                cam_rvec=cam_rvec_new, cam_t=cam_t_new, points=points_new
+            ),
+            huber_delta,
+        )
+        accept = new_cost < cost
+        done = (accept & (cost - new_cost <= FUNCTION_TOLERANCE * cost)) | (
+            lam > 1e8
+        )
+        cam_rvec = jnp.where(accept, cam_rvec_new, cam_rvec)
+        cam_t = jnp.where(accept, cam_t_new, cam_t)
+        points = jnp.where(accept, points_new, points)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 2.5)
+        cost = jnp.where(accept, new_cost, cost)
+        return (cam_rvec, cam_t, points, lam, cost, it + 1, done)
+
+    cost0 = _problem_cost(cam, prob, huber_delta)
+    init = (
+        prob.cam_rvec,
+        prob.cam_t,
+        prob.points,
+        jnp.float32(init_lambda),
+        cost0,
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    cam_rvec, cam_t, points, _, cost, _, _ = jax.lax.while_loop(
+        cond_fn, body, init
+    )
+    return BAResult(
+        cam_rvec=cam_rvec, cam_t=cam_t, points=points, cost=cost,
+        num_residuals=n_res,
     )
 
 

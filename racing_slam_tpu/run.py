@@ -58,6 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(reference deep path, DeepFeatureExtractor.cpp:8)")
     p.add_argument("--lightglue-weights", type=Path, default=None,
                    help="lightglue .npz (default: packaged weights)")
+    p.add_argument("--local-ba-window", type=int, default=1,
+                   help="keyframes freed by the commit-time local BA: 1 = "
+                        "the reference's newest-only shape "
+                        "(src/Slam.cpp:202-213); W>1 re-solves the W newest "
+                        "poses at each commit (ops.ba.window_ba)")
     p.add_argument("--refine-every", type=int, default=0,
                    help="run a FULL bundle adjustment over all live "
                         "keyframes+points every N frames (0=off) — stops "
@@ -102,6 +107,7 @@ def main(argv=None) -> int:
         lightglue_weights=str(args.lightglue_weights or ""),
         refine_every_frames=args.refine_every,
         reproj_monitor_every=args.monitor_every,
+        local_ba_window=args.local_ba_window,
     )
 
     gt_poses = None

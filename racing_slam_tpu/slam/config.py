@@ -51,6 +51,12 @@ class SlamConfig:
     # configs (overflow keeps the best-anchored points, see
     # MapState.ba_point_selection).
     ba_commit_budget: int = 0
+    # Local-BA window at keyframe commit: 1 = the reference's exact shape
+    # (only the NEW keyframe free, src/Slam.cpp:202-213); W > 1 frees the W
+    # newest keyframes (ops.ba.window_ba) so recent drift is re-solved while
+    # it is still cheap instead of frozen into history. At least two
+    # keyframes always stay frozen as gauge anchors.
+    local_ba_window: int = 1
     # Huber scale: "reference" keeps Ceres' sqrt(5.991) on the normalized
     # residual (effectively quadratic); "pixel" rescales it by 1/fx so the
     # robust loss engages at the intended ~2.45 px. A/B on the synthetic

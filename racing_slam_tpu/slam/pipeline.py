@@ -176,10 +176,30 @@ def _commit_keyframe(
             point_free=sel_ok,
             point_in_problem=sel_ok,
         )
-        res = structure_ba(
-            cam, prob, slot, max_iters=cfg.ba_iters,
-            huber_delta=_huber(cfg, cam), backend=cfg.ba_backend,
-        )
+        if cfg.local_ba_window > 1:
+            # Windowed local BA: the W newest keyframes free (at least two
+            # keyframes stay frozen as gauge anchors). The point set stays
+            # the commit compaction (points observed by the new keyframe) —
+            # continuously-tracked points anchor the whole recent window.
+            from ..ops.ba import window_ba
+
+            Wn = cfg.local_ba_window
+            newest_first = jnp.argsort(
+                jnp.where(kfs.valid, -kfs.frame_index, jnp.int32(1 << 30))
+            ).astype(jnp.int32)
+            n_free = jnp.clip(jnp.sum(kfs.valid) - 2, 1, Wn)
+            free_slots = jnp.where(
+                jnp.arange(Wn) < n_free, newest_first[:Wn], -1
+            ).astype(jnp.int32)
+            res = window_ba(
+                cam, prob, free_slots, max_iters=cfg.ba_iters,
+                huber_delta=_huber(cfg, cam),
+            )
+        else:
+            res = structure_ba(
+                cam, prob, slot, max_iters=cfg.ba_iters,
+                huber_delta=_huber(cfg, cam), backend=cfg.ba_backend,
+            )
         kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
         tgt = jnp.where(sel_ok, sel, P)
         m = m._replace(pos=m.pos.at[tgt].set(res.points, mode="drop"))
@@ -941,6 +961,14 @@ class Slam:
                     prev_infos, prev_n = None, 0
                     continue
                 prev_infos, prev_n = infos, n
+        # Close the run with a final refinement if frames accumulated since
+        # the last one: callers read the state right after run_batched, and
+        # a window refined N frames ago is measurably worse than one refined
+        # now (the whole point of the periodic full BA).
+        if self._refine_one is not None and self._frames_since_refine > 0:
+            self._frames_since_refine = 0
+            self.state, cost = self._refine_one(self.state)
+            self.refine_costs.append(cost)
         return total
 
     def _check_batch(self, infos: StepInfo, n: int) -> bool:

@@ -232,3 +232,51 @@ def test_analytic_jacobians_match_autodiff(rng):
                                atol=5e-5, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(Jp), np.asarray(J_ref[..., 6:]),
                                atol=5e-5, rtol=1e-3)
+
+
+def test_window_ba_matches_full_ba(rng):
+    """window_ba with the free set {1, 2} must agree with the generic Schur
+    solver given the same free mask, and leave frozen cameras bit-identical."""
+    from racing_slam_tpu.ops.ba import window_ba
+
+    cam, poses, X, obs_cam, obs_uv, obs_valid = _make_rig(rng, n_cams=4)
+    poses_pert = [p.copy() for p in poses]
+    for i in (2, 3):
+        poses_pert[i][:3, 3] += rng.normal(0, 0.04, 3).astype(np.float32)
+    X_noisy = X + rng.normal(0, 0.03, X.shape).astype(np.float32)
+    prob = _problem_from_rig(cam, poses_pert, X_noisy, obs_cam, obs_uv, obs_valid,
+                             cam_free=np.array([False, False, True, True]),
+                             point_free=np.ones(len(X), bool))
+    res_f = full_ba(cam, prob)
+    res_w = window_ba(cam, prob, jnp.asarray([3, 2, -1], jnp.int32))
+    np.testing.assert_allclose(np.asarray(res_w.cam_t), np.asarray(res_f.cam_t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_w.cam_rvec),
+                               np.asarray(res_f.cam_rvec), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_w.points), np.asarray(res_f.points),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(res_w.cam_t)[:2],
+                                  np.stack([p[:3, 3] for p in poses_pert[:2]]))
+
+
+def test_window_ba_recovers_window_poses(rng):
+    """Two perturbed newest cameras + noisy points -> converge to GT with the
+    two oldest frozen as anchors."""
+    from racing_slam_tpu.ops.ba import window_ba
+
+    cam, poses, X, obs_cam, obs_uv, obs_valid = _make_rig(rng, n_cams=4)
+    poses_pert = [p.copy() for p in poses]
+    for i in (2, 3):
+        poses_pert[i][:3, 3] += np.float32([0.05, -0.03, 0.04])
+    X_noisy = X + rng.normal(0, 0.03, X.shape).astype(np.float32)
+    prob = _problem_from_rig(cam, poses_pert, X_noisy, obs_cam, obs_uv, obs_valid,
+                             cam_free=np.zeros(4, bool),  # ignored by window_ba
+                             point_free=np.ones(len(X), bool))
+    res = window_ba(cam, prob, jnp.asarray([3, 2, -1], jnp.int32))
+    for i in (2, 3):
+        np.testing.assert_allclose(np.asarray(res.cam_t)[i], poses[i][:3, 3],
+                                   atol=3e-3)
+        np.testing.assert_allclose(np.asarray(res.cam_rvec)[i],
+                                   _rvec(poses[i][:3, :3]), atol=2e-3)
+    err = np.linalg.norm(np.asarray(res.points) - X, axis=-1)
+    assert np.median(err) < 5e-3
