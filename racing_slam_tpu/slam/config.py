@@ -96,6 +96,9 @@ class SlamConfig:
     # Motion-BA backend: "auto" = fused single-kernel Pallas LM loop on TPU
     # (ops/pallas/motion_ba_kernel.py), XLA while_loop elsewhere.
     ba_backend: str = "auto"
+    # Frontend image-stack backend: "auto" = fused Pallas band kernel on TPU
+    # (ops/pallas/frontend_kernel.py), XLA conv stack elsewhere.
+    frontend_backend: str = "auto"
 
     # Failure detection / recovery (new capability; the reference only prints
     # "Initialization failed" and keeps going — src/Slam.cpp:38-41). Tracking

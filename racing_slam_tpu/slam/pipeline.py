@@ -161,7 +161,26 @@ def _commit_keyframe(
         P = m.valid.shape[0]
         budget = cfg.ba_commit_budget or -(-K // 128) * 128
         Pc = min(P, budget)
-        sel, sel_ok = m.ba_point_selection(slot, Pc)
+        if cfg.local_ba_window > 1:
+            # Window free set: the W newest keyframes, keeping at least two
+            # frozen as gauge anchors. Computed BEFORE the point selection:
+            # the problem must include every point observed by ANY free
+            # keyframe — moving a pose while leaving its other points behind
+            # would make the map self-inconsistent (and the 3 px cull would
+            # then eat it).
+            Wn = cfg.local_ba_window
+            newest_first = jnp.argsort(
+                jnp.where(kfs.valid, -kfs.frame_index, jnp.int32(1 << 30))
+            ).astype(jnp.int32)
+            n_free = jnp.clip(jnp.sum(kfs.valid) - 2, 1, Wn)
+            free_slots = jnp.where(
+                jnp.arange(Wn) < n_free, newest_first[:Wn], -1
+            ).astype(jnp.int32)
+            sel, sel_ok = m.ba_point_selection_mask(
+                m.observed_by_any(free_slots) & m.valid, Pc
+            )
+        else:
+            sel, sel_ok = m.ba_point_selection(slot, Pc)
         obs_kf = m.obs_kf[sel]
         obs_kp = m.obs_kp[sel]
         prob = BAProblem(
@@ -178,19 +197,10 @@ def _commit_keyframe(
         )
         if cfg.local_ba_window > 1:
             # Windowed local BA: the W newest keyframes free (at least two
-            # keyframes stay frozen as gauge anchors). The point set stays
-            # the commit compaction (points observed by the new keyframe) —
-            # continuously-tracked points anchor the whole recent window.
+            # keyframes stay frozen as gauge anchors); free_slots and the
+            # covering point selection were computed above.
             from ..ops.ba import window_ba
 
-            Wn = cfg.local_ba_window
-            newest_first = jnp.argsort(
-                jnp.where(kfs.valid, -kfs.frame_index, jnp.int32(1 << 30))
-            ).astype(jnp.int32)
-            n_free = jnp.clip(jnp.sum(kfs.valid) - 2, 1, Wn)
-            free_slots = jnp.where(
-                jnp.arange(Wn) < n_free, newest_first[:Wn], -1
-            ).astype(jnp.int32)
             res = window_ba(
                 cam, prob, free_slots, max_iters=cfg.ba_iters,
                 huber_delta=_huber(cfg, cam),
@@ -626,6 +636,7 @@ class Slam:
             cell=config.cell,
             n_per_cell=config.n_per_cell,
             max_distance=config.max_match_distance,
+            backend=config.frontend_backend,
         )
         if config.matcher == "lightglue":
             from pathlib import Path

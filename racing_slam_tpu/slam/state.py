@@ -111,16 +111,31 @@ class MapState(NamedTuple):
         LM loop, the dominant cost of the whole tracking step on TPU.
         Returns (sel [budget] i32 map slots, sel_ok [budget] bool).
         """
-        point_in = self.observed_by(kf_slot) & self.valid
-        # In-problem slots first; under budget overflow, keep the points with
-        # the most observations (the best-anchored ones benefit most from a
-        # refit; fresh 2-view points keep their triangulated positions).
+        return self.ba_point_selection_mask(
+            self.observed_by(kf_slot) & self.valid, budget
+        )
+
+    def ba_point_selection_mask(
+        self, point_in: jnp.ndarray, budget: int
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Compact an arbitrary in-problem point mask into [budget] slots.
+
+        Under budget overflow, keep the points with the most observations
+        (the best-anchored ones benefit most from a refit; fresh 2-view
+        points keep their triangulated positions).
+        """
         O = self.obs_valid.shape[1]
         n_obs = jnp.sum(self.obs_valid, axis=-1)
         rank = jnp.where(point_in, O - n_obs, 2 * O)
         order = jnp.argsort(rank)  # stable
         sel = order[:budget].astype(jnp.int32)
         return sel, point_in[sel]
+
+    def observed_by_any(self, kf_slots: jnp.ndarray) -> jnp.ndarray:
+        """[P] bool — point has an observation in ANY of `kf_slots` [W]
+        (entries < 0 ignored)."""
+        eq = (self.obs_kf[..., None] == jnp.where(kf_slots >= 0, kf_slots, -2))
+        return jnp.any(eq & self.obs_valid[..., None], axis=(-2, -1))
 
 
 class SlamState(NamedTuple):

@@ -28,6 +28,11 @@ def main():
     p.add_argument("--refine-every", type=int, default=0)
     p.add_argument("--refine-iters", type=int, default=10)
     p.add_argument("--monitor-every", type=int, default=1)
+    p.add_argument("--local-ba-window", type=int, default=1)
+    p.add_argument("--backends", default="auto",
+                   help="auto|xla — force all kernel backends")
+    p.add_argument("--essential", action="store_true",
+                   help="essential-matrix initial pose instead of constant-position")
     p.add_argument("--batch", type=int, default=48)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--checkpoints", type=str, default="100,200,300")
@@ -65,6 +70,7 @@ def main():
           file=sys.stderr)
 
     cfg = SlamConfig(
+        essential_matrix_estimation=args.essential,
         triangulate_points=True,
         bundle_adjust=True,
         optimize_pose=True,
@@ -75,6 +81,10 @@ def main():
         refine_every_frames=args.refine_every,
         refine_iters=args.refine_iters,
         reproj_monitor_every=args.monitor_every,
+        local_ba_window=args.local_ba_window,
+        matching_backend=args.backends,
+        ba_backend=args.backends,
+        frontend_backend=args.backends,
     )
     slam = Slam(cam, ArraySource(seq.frames), cfg)
     assert slam.initialize()
