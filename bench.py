@@ -214,6 +214,15 @@ def main():
     ap.add_argument("--variant", default="classical",
                     choices=("classical", "lightglue", "learned"))
     ap.add_argument("--masked", action="store_true")
+    ap.add_argument("--radius", type=float, default=28.0)
+    ap.add_argument("--prediction", default="constant_position",
+                    choices=("constant_position", "constant_velocity"))
+    ap.add_argument("--essential", action=__import__("argparse").BooleanOptionalAction,
+                    default=True,
+                    help="essential-matrix initial pose (RANSAC) instead of "
+                         "the constant-position model: the projected 20 px "
+                         "match gate survives hard stretches where constant "
+                         "position misses (reference flag, src/Slam.h:11-17)")
     ap.add_argument("--refine-every", type=int, default=None,
                     help="override refine_every_frames (default: engine pick)")
     ap.add_argument("--local-ba-window", type=int, default=1,
@@ -234,6 +243,9 @@ def main():
     seeds = [int(s) for s in args.seeds.split(",") if s]
 
     cfg = SlamConfig(
+        match_radius_px=args.radius,
+        pose_prediction=args.prediction,
+        essential_matrix_estimation=args.essential,
         triangulate_points=True,
         bundle_adjust=True,
         optimize_pose=True,

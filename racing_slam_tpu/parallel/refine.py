@@ -82,20 +82,21 @@ def apply_refinement(state: SlamState, res: BAResult) -> SlamState:
     T_new = se3.pose_matrix(res.cam_rvec[slot], res.cam_t[slot])
     # se3.compose is f32_precision-wrapped; bare `@` here would run the 4x4
     # chain as bf16 MXU passes on TPU and perturb the tracking seed.
-    T_last = se3.compose(
-        se3.compose(
-            se3.pose_matrix(state.last_rvec, state.last_t),
-            se3.inverse(T_old),
-        ),
-        T_new,
-    )
+    corr = se3.compose(se3.inverse(T_old), T_new)
+    T_last = se3.compose(se3.pose_matrix(state.last_rvec, state.last_t), corr)
     last_rvec, last_t = se3.rt_from_matrix(T_last)
+    # Correct the t-2 pose the same way so the constant-velocity predictor
+    # sees an unchanged relative motion across the refinement.
+    T_prev = se3.compose(se3.pose_matrix(state.prev_rvec, state.prev_t), corr)
+    prev_rvec, prev_t = se3.rt_from_matrix(T_prev)
 
     return state._replace(
         kfs=kfs._replace(rvec=res.cam_rvec, t=res.cam_t),
         map=state.map._replace(pos=res.points),
         last_rvec=last_rvec,
         last_t=last_t,
+        prev_rvec=prev_rvec,
+        prev_t=prev_t,
     )
 
 

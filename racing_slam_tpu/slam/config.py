@@ -99,6 +99,23 @@ class SlamConfig:
     # Frontend image-stack backend: "auto" = fused Pallas band kernel on TPU
     # (ops/pallas/frontend_kernel.py), XLA conv stack elsewhere.
     frontend_backend: str = "auto"
+    # Initial-pose model when essential_matrix_estimation is off:
+    # "constant_position" = the reference's model (pose := last frame's,
+    # src/Slam.cpp:134); "constant_velocity" = extrapolate the last relative
+    # motion, T_pred = (T_last inv(T_prev)) T_last. At racing-like motion the
+    # position model mispredicts by several px per frame, which starves the
+    # 20 px projected match gate exactly in low-texture stretches; the
+    # velocity model keeps the gate centered for free (no RANSAC cost).
+    pose_prediction: str = "constant_position"
+    # Guided-match gate radius (reference: 20 px KD-tree query,
+    # src/features/FeatureExtractor.cpp:55). In the dense masked-distance
+    # design the radius is just a mask threshold — a wider gate costs ZERO
+    # extra compute (the [P, K] matrix is computed either way), unlike the
+    # reference's KD-tree whose cost grows with radius. A wider gate keeps
+    # lock when the initial-pose prediction is off by a few px (fast motion,
+    # sparse stretches). Default stays at the reference's 20 px for parity;
+    # bench.py and deployment configs raise it to 28.
+    match_radius_px: float = 20.0
 
     # Failure detection / recovery (new capability; the reference only prints
     # "Initialization failed" and keeps going — src/Slam.cpp:38-41). Tracking

@@ -277,6 +277,16 @@ def slam_step(
             est.pose, se3.pose_matrix(state.last_rvec, state.last_t)
         )
         rvec, t = se3.rt_from_matrix(pose)
+    elif cfg.pose_prediction == "constant_velocity":
+        # Constant-velocity model: extrapolate the last relative motion,
+        # T_pred = (T_last inv(T_prev)) T_last. Keeps the 20 px projected
+        # match gate centered under racing-like motion where the reference's
+        # constant-position model (src/Slam.cpp:134) mispredicts by several
+        # px and starves matching exactly in the hard stretches.
+        T_last = se3.pose_matrix(state.last_rvec, state.last_t)
+        T_prev = se3.pose_matrix(state.prev_rvec, state.prev_t)
+        T_pred = se3.compose(se3.compose(T_last, se3.inverse(T_prev)), T_last)
+        rvec, t = se3.rt_from_matrix(T_pred)
     else:
         # Constant-position model (src/Slam.cpp:134).
         rvec, t = state.last_rvec, state.last_t
@@ -305,6 +315,7 @@ def slam_step(
         no_kp_matched,
         no_pt_matched,
         max_distance=frontend.max_distance,
+        radius_px=cfg.match_radius_px,
         backend=backend,
     )
     matches = jnp.where(mm1.valid, mm1.point_idx, -1)
@@ -339,6 +350,7 @@ def slam_step(
         matches >= 0,
         _point_matched_mask(P, matches, feat.valid),
         max_distance=frontend.max_distance,
+        radius_px=cfg.match_radius_px,
         backend=backend,
     )
     matches = jnp.where(mm2.valid & (matches < 0), mm2.point_idx, matches)
@@ -365,6 +377,8 @@ def slam_step(
     state = state._replace(
         last_rvec=rvec,
         last_t=t,
+        prev_rvec=state.last_rvec,
+        prev_t=state.last_t,
         last_feat=feat,
         last_matches=matches,
     )
@@ -603,6 +617,10 @@ def commit_initialization(
         last_kf_slot=jnp.int32(1),
         last_rvec=kfs.rvec[1],
         last_t=kfs.t[1],
+        # Zero initial velocity: the bootstrap pair may be several frames
+        # apart, so its relative motion over-predicts the per-frame step.
+        prev_rvec=kfs.rvec[1],
+        prev_t=kfs.t[1],
         last_feat=query_feat,
         last_matches=kfs.matches[1],
         frame_count=query_index.astype(jnp.int32) + 1,

@@ -146,6 +146,10 @@ class SlamState(NamedTuple):
     # Last processed frame (reference m_last_frame, src/Slam.h:46):
     last_rvec: jnp.ndarray  # [3]
     last_t: jnp.ndarray  # [3]
+    # Frame before last — carries the constant-velocity motion model
+    # (SlamConfig.pose_prediction): T_pred = (T_last inv(T_prev)) T_last.
+    prev_rvec: jnp.ndarray  # [3]
+    prev_t: jnp.ndarray  # [3]
     last_feat: Features
     last_matches: jnp.ndarray  # [K] i32 map slot per keypoint of last frame
     frame_count: jnp.ndarray  # i32 — frames processed so far
@@ -172,6 +176,8 @@ class SlamState(NamedTuple):
             last_kf_slot=jnp.int32(0),
             last_rvec=jnp.zeros(3),
             last_t=jnp.zeros(3),
+            prev_rvec=jnp.zeros(3),
+            prev_t=jnp.zeros(3),
             last_feat=Features(
                 xy=jnp.zeros((K, 2)),
                 desc=jnp.zeros((K, D)),

@@ -52,6 +52,8 @@ def load_state(path: str | Path) -> SlamState:
             last_kf_slot=0,
             last_rvec=0,
             last_t=0,
+            prev_rvec=0,
+            prev_t=0,
             last_feat=Features(0, 0, 0, 0),
             last_matches=0,
             frame_count=0,
