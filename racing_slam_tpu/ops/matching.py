@@ -162,6 +162,9 @@ def match_map_to_frame(
         from .pallas.match_kernel import guided_match_stage1
 
         interpret = jax.default_backend() != "tpu"
+        # VMEM is bounded by the kernel's keypoint tiling (large K runs as
+        # multiple [tile, TK] blocks with a running argmin), so the
+        # measured-optimal point tile holds at any resolution.
         tile = min(chunk, 256)
         pad_p = (-P) % tile
         def padp(x, fill=0):

@@ -2,18 +2,22 @@
 
 This is the TPU re-design of the reference's single most important inner loop
 (src/features/FeatureExtractor.cpp:26-92, traced in SURVEY.md §3.5): for each
-map point, find the best-matching keypoint among those within a 20 px radius
-of its projection, scoring against the minimum distance over the point's
-stored observation descriptors.
+map point, find the best-matching keypoint among those within a radius of its
+projection, scoring against the minimum distance over the point's stored
+observation descriptors.
 
-Kernel shape: attention-style. Grid over point tiles; per tile it
-- computes the pixel-distance gate [TP, K] from projected point uvs vs
+Kernel shape: attention-style. Grid over (point tiles, keypoint tiles); per
+(TP, TK) block it
+- computes the pixel-distance gate [TP, TK] from projected point uvs vs
   keypoint uvs (VPU broadcasts),
-- runs O descriptor-distance matmuls [TP, D] x [D, K] on the MXU,
+- runs O descriptor-distance matmuls [TP, D] x [D, TK] on the MXU,
   min-accumulating over the observation axis in VMEM,
-- applies gates and performs the per-point argmin over K,
-all without spilling the [TP, O, K] intermediates to HBM (the XLA fallback in
-ops/matching.py materializes them chunk-by-chunk).
+- applies gates and merges the block's per-point argmin into a running
+  (best_d, best_k) scratch carried across keypoint tiles,
+all without spilling any [TP, O, K] intermediate to HBM (the XLA fallback in
+ops/matching.py materializes them chunk-by-chunk). Keypoint tiling keeps the
+VMEM working set bounded for any K — 480p (K=2400) runs as one K tile,
+matching the round-2 kernel exactly; 720p (K=7200) runs four.
 
 The second reduction (best point per keypoint + de-dup) is a tiny scatter-min
 left to XLA. Outputs are bit-compatible with the XLA path's stage 1.
@@ -36,29 +40,34 @@ def _kernel(
     gate_p_ref,  # [TP, 1] f32 0/1
     obs_desc_ref,  # [TP * O, D]
     obs_valid_ref,  # [TP, O] f32 0/1
-    kp_uv_ref,  # [K, 2]
-    kp_desc_ref,  # [K, D]
-    kp_ok_ref,  # [K, 1] f32 0/1
+    kp_uv_ref,  # [TK, 2]
+    kp_desc_ref,  # [TK, D]
+    kp_ok_ref,  # [TK, 1] f32 0/1
     best_k_ref,  # [TP, 1] i32 out
     best_d_ref,  # [TP, 1] f32 out (squared distance)
-    acc_ref,  # [TP, K] f32 scratch: running min over observations
+    acc_ref,  # [TP, TK] f32 scratch: running min over observations
+    run_d_ref,  # [TP, 1] f32 scratch: best distance across K tiles
+    run_k_ref,  # [TP, 1] i32 scratch: best keypoint across K tiles
     *,
     O: int,
     radius_sq: float,
+    tile_k: int,
+    n_k: int,
 ):
     TP = uv_p_ref.shape[0]
-    K = kp_uv_ref.shape[0]
+    TK = kp_uv_ref.shape[0]
+    k_id = pl.program_id(1)
 
-    # Pixel gate [TP, K].
+    # Pixel gate [TP, TK].
     du = uv_p_ref[:, 0:1] - kp_uv_ref[:, 0][None, :]
     dv = uv_p_ref[:, 1:2] - kp_uv_ref[:, 1][None, :]
     px_ok = (du * du + dv * dv) <= radius_sq
 
-    kp_desc = kp_desc_ref[:]  # [K, D] bf16
+    kp_desc = kp_desc_ref[:]  # [TK, D] bf16
     kp_f32 = kp_desc.astype(jnp.float32)
-    kp_n2 = jnp.sum(kp_f32 * kp_f32, axis=-1)[None, :]  # [1, K]
+    kp_n2 = jnp.sum(kp_f32 * kp_f32, axis=-1)[None, :]  # [1, TK]
 
-    acc_ref[:] = jnp.full((TP, K), _BIG, jnp.float32)
+    acc_ref[:] = jnp.full((TP, TK), _BIG, jnp.float32)
     for o in range(O):
         od = obs_desc_ref[pl.ds(o * TP, TP), :]  # [TP, D] bf16 (obs o per point)
         od_f32 = od.astype(jnp.float32)
@@ -72,15 +81,31 @@ def _kernel(
             # HIGHEST, which Mosaic rejects for bf16 operands ("Bad lhs
             # type") — bf16 x bf16 -> f32 accumulate IS the intended op.
             precision=jax.lax.Precision.DEFAULT,
-        )  # [TP, K] (see matching._pairwise_sq_dists for the bf16 rationale)
+        )  # [TP, TK] (see matching._pairwise_sq_dists for the bf16 rationale)
         dd = jnp.maximum(on2 + kp_n2 - 2.0 * cross, 0.0)
         ov = obs_valid_ref[:, o][:, None] > 0.0
         acc_ref[:] = jnp.minimum(acc_ref[:], jnp.where(ov, dd, _BIG))
 
     ok = px_ok & (gate_p_ref[:] > 0.0) & (kp_ok_ref[:, 0][None, :] > 0.0)
     dd = jnp.where(ok, acc_ref[:], _BIG)
-    best_d_ref[:] = jnp.min(dd, axis=-1, keepdims=True)
-    best_k_ref[:] = jnp.argmin(dd, axis=-1).astype(jnp.int32)[:, None]
+    loc_d = jnp.min(dd, axis=-1, keepdims=True)  # [TP, 1]
+    loc_k = (
+        jnp.argmin(dd, axis=-1).astype(jnp.int32)[:, None] + k_id * tile_k
+    )
+
+    @pl.when(k_id == 0)
+    def _():
+        run_d_ref[:] = jnp.full((TP, 1), _BIG, jnp.float32)
+        run_k_ref[:] = jnp.zeros((TP, 1), jnp.int32)
+
+    better = loc_d < run_d_ref[:]
+    run_d_ref[:] = jnp.where(better, loc_d, run_d_ref[:])
+    run_k_ref[:] = jnp.where(better, loc_k, run_k_ref[:])
+
+    @pl.when(k_id == n_k - 1)
+    def _():
+        best_d_ref[:] = run_d_ref[:]
+        best_k_ref[:] = run_k_ref[:]
 
 
 @partial(
@@ -109,6 +134,25 @@ def guided_match_stage1(
     if P % tile_p != 0:
         raise ValueError(f"P={P} must be a multiple of tile_p={tile_p}")
 
+    # Keypoint tiling: one tile up to 2560 (the measured 480p K=2400 shape
+    # compiles in one tile at ~14 MB VMEM); beyond that, split so every
+    # [tile_p, TK] plane stays bounded (full 720p K=7200 OOM'd at 28 MB).
+    if K <= 2560:
+        n_k, tile_k = 1, K
+    else:
+        tile_k = 2048
+        n_k = -(-K // tile_k)
+    Kp = n_k * tile_k
+    if Kp != K:
+        pad = Kp - K
+        kp_uv = jnp.concatenate(
+            [kp_uv, jnp.full((pad, 2), 1e7, kp_uv.dtype)], axis=0
+        )
+        kp_desc = jnp.concatenate(
+            [kp_desc, jnp.zeros((pad, D), kp_desc.dtype)], axis=0
+        )
+        kp_ok = jnp.concatenate([kp_ok, jnp.zeros((pad,), bool)], axis=0)
+
     # Layout: observation-major rows grouped per tile so the kernel can slice
     # [o*TP:(o+1)*TP] contiguously: [P/TP, O, TP, D] -> [(P/TP)*O*TP, D].
     n_tiles = P // tile_p
@@ -118,34 +162,41 @@ def guided_match_stage1(
         .reshape(n_tiles * O * tile_p, D)
     )
 
-    grid = (n_tiles,)
+    grid = (n_tiles, n_k)
     out = pl.pallas_call(
-        partial(_kernel, O=O, radius_sq=radius_px * radius_px),
+        partial(
+            _kernel, O=O, radius_sq=radius_px * radius_px,
+            tile_k=tile_k, n_k=n_k,
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_p, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 2), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile_p * O, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile_p * O, D), lambda i, k: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((tile_p, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, O), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, 2), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, D), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile_p, K), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tile_p, tile_k), jnp.float32),
+            pltpu.VMEM((tile_p, 1), jnp.float32),
+            pltpu.VMEM((tile_p, 1), jnp.int32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * P * O * K * D,
-            bytes_accessed=P * O * D * 4 + K * D * 4 + P * K * 4,
+            flops=2 * P * O * Kp * D,
+            bytes_accessed=P * O * D * 4 + Kp * D * 4 + P * Kp * 4,
             transcendentals=0,
         ),
     )(

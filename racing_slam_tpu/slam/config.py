@@ -90,6 +90,11 @@ class SlamConfig:
     # Path to trained LightGlue weights; "" = the packaged
     # racing_slam_tpu/weights/lightglue.npz.
     lightglue_weights: str = ""
+    # Mutual-argmax acceptance threshold for the LightGlue matcher. 0.35 is
+    # the precision/recall sweet spot for the classical-descriptor weights;
+    # the from-scratch SuperPoint pairing needs a looser 0.2 to keep enough
+    # matches for the two-view bootstrap (>= 50 triangulations, Init.h:19).
+    lightglue_threshold: float = 0.35
     # Guided-matcher backend: "auto" = fused Pallas kernel on TPU, XLA
     # fallback elsewhere (interpret-mode Pallas is too slow for CPU runs).
     matching_backend: str = "auto"

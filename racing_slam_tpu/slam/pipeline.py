@@ -689,6 +689,7 @@ class Slam:
             self.frontend.matcher = LightGlueMatcher(
                 params,
                 image_size=(float(cam.width), float(cam.height)),
+                threshold=config.lightglue_threshold,
             )
         K = self.frontend.num_keypoints(cam.height, cam.width)
         self.state = SlamState.create(

@@ -112,3 +112,53 @@ def test_superpoint_frontend_tracks():
     length = float(np.linalg.norm(seq.poses[-1][:3, 3] - seq.poses[0][:3, 3]))
     assert int(slam.state.num_kf) >= 2
     assert np.isfinite(ate) and ate < 0.3 * max(length, 1.0)
+
+
+LGSP_WEIGHTS = WEIGHTS.parent / "lightglue_superpoint.npz"
+
+
+@pytest.mark.skipif(
+    not (SP_WEIGHTS.exists() and LGSP_WEIGHTS.exists()),
+    reason="no committed weights",
+)
+def test_full_deep_path_tracks():
+    """The reference's FULL deep path — learned extractor feeding the learned
+    matcher (src/features/DeepFeatureExtractor.cpp:8 + the lightglue
+    submodule) — with both committed weight sets: SuperPoint descriptors
+    (256-d) into the jointly-trained LightGlue (lightglue_superpoint.npz,
+    selected automatically by Slam when the frontend is non-128-d)."""
+    from racing_slam_tpu.models.superpoint import SuperPointFrontend, load_params
+
+    cam = _cam()
+    seq = make_sequence(
+        np.random.default_rng(3), n_frames=10, cam=cam, n_sprites=140,
+        step_t=np.array([0.10, 0.01, 0.16], np.float32),
+    )
+    fe = SuperPointFrontend(params=load_params(SP_WEIGHTS))
+    # From-scratch SuperPoint descriptors need the looser acceptance
+    # threshold to reach the bootstrap's 50-triangulation bar.
+    slam = Slam(cam, ArraySource(seq.frames),
+                _cfg(matcher="lightglue", lightglue_threshold=0.2),
+                frontend=fe)
+    # The dimension-aware default must have picked the 256-d weights.
+    assert slam.frontend.matcher.params.in_proj_w.shape[0] == fe.descriptor_dim
+    assert slam.initialize(), "bootstrap failed with full deep path"
+    slam.run()
+    kf_idx = slam.keyframe_indices()
+    ate = ate_rmse(slam.poses(), seq.poses[kf_idx])
+    length = float(np.linalg.norm(seq.poses[-1][:3, 3] - seq.poses[0][:3, 3]))
+    assert int(slam.state.num_kf) >= 2
+    assert np.isfinite(ate) and ate < 0.3 * max(length, 1.0)
+
+
+def test_mismatched_lightglue_weights_raise(tmp_path):
+    """Loading 128-d LightGlue weights with a 256-d frontend must fail fast
+    with a clear error, not an opaque shape mismatch at runtime."""
+    from racing_slam_tpu.models.superpoint import SuperPointFrontend
+
+    cam = _cam()
+    fe = SuperPointFrontend()  # random weights fine — init raises before use
+    with pytest.raises(ValueError, match="descriptors"):
+        Slam(cam, ArraySource([]), _cfg(
+            matcher="lightglue", lightglue_weights=str(WEIGHTS)
+        ), frontend=fe)

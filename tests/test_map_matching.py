@@ -126,3 +126,32 @@ def test_pallas_backend_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(m_xla.distance)[v], np.asarray(m_pal.distance)[v], atol=1e-4
     )
+
+
+def test_pallas_keypoint_tiling_matches_xla(rng):
+    """K beyond one keypoint tile (the 720p shape class) must produce the
+    same stage-1 results: the running argmin across K tiles is exact."""
+    import jax.numpy as jnp
+
+    from racing_slam_tpu.ops.matching import match_map_to_frame
+
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(
+        rng, P=64, K=2600  # > 2560 -> two K tiles (2048 + padded 2048)
+    )
+    kwargs = dict(
+        point_mask=None, kp_matched=None, pt_matched=None, max_distance=0.8,
+    )
+    m_xla = _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid, **kwargs)
+    P, K = X.shape[0], kp_uv.shape[0]
+    m_pal = match_map_to_frame(
+        cam, jnp.asarray(pose), jnp.asarray(X), jnp.ones(P, bool),
+        jnp.asarray(obs_desc), jnp.asarray(obs_valid),
+        jnp.asarray(kp_uv), jnp.asarray(kp_desc), jnp.ones(K, bool),
+        jnp.zeros(K, bool), jnp.zeros(P, bool),
+        max_distance=0.8, chunk=64, backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(m_xla.valid), np.asarray(m_pal.valid))
+    v = np.asarray(m_xla.valid)
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.point_idx)[v], np.asarray(m_pal.point_idx)[v]
+    )

@@ -33,6 +33,8 @@ def main():
                    help="auto|xla — force all kernel backends")
     p.add_argument("--essential", action="store_true",
                    help="essential-matrix initial pose instead of constant-position")
+    p.add_argument("--radius", type=float, default=28.0,
+                   help="guided-match gate radius in px (bench default 28)")
     p.add_argument("--batch", type=int, default=48)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--checkpoints", type=str, default="100,200,300")
@@ -70,6 +72,7 @@ def main():
           file=sys.stderr)
 
     cfg = SlamConfig(
+        match_radius_px=args.radius,
         essential_matrix_estimation=args.essential,
         triangulate_points=True,
         bundle_adjust=True,
