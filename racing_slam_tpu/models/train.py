@@ -262,10 +262,28 @@ def lightglue_frontend_loss(
     ) / n
 
 
+def _train_image(rng, h, w):
+    """Training image sampler: half multi-octave noise textures, half
+    sprite-world renders (textured quads on black background) — the actual
+    content distribution the SLAM pipeline matches on. Trained only on dense
+    textures, the matcher's double-softmax scores collapse on sparse scenes
+    (most keypoints sit on background); mixing closes that gap."""
+    if rng.random() < 0.5:
+        return random_texture(h, w, rng)
+    from ..ops.camera import Camera
+    from ..utils.synthetic import SpriteWorld
+
+    cam = Camera(fx=float(w) * 0.75, fy=float(w) * 0.75,
+                 cx=w / 2.0, cy=h / 2.0, width=w, height=h)
+    world = SpriteWorld.generate(rng, n_sprites=60, tex_size=32)
+    pose = np.eye(4, dtype=np.float32)
+    return world.render(cam, pose)
+
+
 def _homography_pair(rng, frontend, extract, h, w, mag=0.12):
     """One training example: classical-frontend features of a texture and its
     homography warp, plus the GT assignment (nearest warped keypoint < 3 px)."""
-    img0 = random_texture(h, w, rng)
+    img0 = _train_image(rng, h, w)
     H = random_homography(rng, h, w, mag=mag)
     img1 = warp_image(img0, H)
     f0 = extract(jnp.asarray(img0))
