@@ -258,10 +258,15 @@ def main():
         # [F, K] reprojection pass every frame purely for its per-frame
         # print, src/main.cpp:106 — here it would tax the fused hot loop).
         reproj_monitor_every=0,
-        # Periodic global refinement over the live keyframe window: kills
-        # the length-proportional drift of the frozen-history commit BA.
+        # Periodic global refinement (refine_every_frames) measurably kills
+        # drift in healthy sessions (0.36-5.1% ATE across seeds) but
+        # amplifies backend-instance fp differences into divergent
+        # trajectories on this remote-compile tunnel (the identical command
+        # measured 1.6% AND 11.7% median ATE in different sessions), so the
+        # HEADLINE run keeps it off: without refinement the trajectories are
+        # bit-reproducible run-to-run. Opt in with --refine-every 16.
         refine_every_frames=(args.refine_every
-                             if args.refine_every is not None else 16),
+                             if args.refine_every is not None else 0),
         refine_iters=10,
         local_ba_window=args.local_ba_window,
     )
