@@ -48,9 +48,11 @@ from ..slam.state import SlamState
 from .mesh import put_sharded
 
 
-def batched_state(S: int, F: int, Pcap: int, O: int, K: int, D: int) -> SlamState:
+def batched_state(
+    S: int, F: int, Pcap: int, O: int, K: int, D: int, A: int = 512
+) -> SlamState:
     """A stacked SlamState for S sequences (leading axis on every leaf)."""
-    one = SlamState.create(F=F, P=Pcap, O=O, K=K, D=D)
+    one = SlamState.create(F=F, P=Pcap, O=O, K=K, D=D, A=A)
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (S,) + x.shape), one)
 
 
@@ -145,6 +147,21 @@ class MultiSlam:
         self.cfg = config
         self.n_proc = jax.process_count()
         S_local = len(videos)
+        if self.n_proc > 1:
+            # Every process MUST bring the same number of sequences: S (and
+            # with it PRNG key tables and every collective shape) is derived
+            # from it, so uneven counts would diverge into hangs instead of
+            # an error (advisor r3).
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(
+                multihost_utils.process_allgather(np.array([S_local]))
+            ).ravel()
+            if not np.all(counts == S_local):
+                raise ValueError(
+                    f"uneven per-process sequence counts {counts.tolist()} — "
+                    "every process must pass the same number of videos"
+                )
         self.S = S_local * self.n_proc  # global sequence count
         if self.S % mesh.shape["seq"] != 0:
             raise ValueError(
@@ -156,6 +173,15 @@ class MultiSlam:
             raise ValueError(
                 f"this process's devices hold {len(self.local_rows)} sequence "
                 f"rows of the 'seq' sharding but {S_local} videos were given"
+            )
+        if not np.array_equal(
+            np.asarray(self.local_rows),
+            np.arange(self.local_rows[0], self.local_rows[0] + S_local),
+        ):
+            raise ValueError(
+                f"this process's sequence rows {list(self.local_rows)} are "
+                "not a contiguous ascending block; the _allgather row "
+                "ordering assumes process-major ascending row blocks"
             )
         # Seed per GLOBAL row so every process derives identical PRNG streams
         # and a multi-host run reproduces the single-process trajectories.
@@ -341,19 +367,12 @@ class MultiSlam:
         self.segments.append(
             dict(
                 seq=g,
-                poses=s.poses(),
-                frame_indices=s.keyframe_indices(),
+                poses=s.poses(include_archived=True),
+                frame_indices=s.keyframe_indices(include_archived=True),
                 points=s.points(),
             )
         )
-        K = s.state.last_feat.xy.shape[0]
-        s.state = SlamState.create(
-            F=self.cfg.max_keyframes,
-            P=self.cfg.map_capacity,
-            O=self.cfg.max_observations,
-            K=K,
-            D=self.frontend.descriptor_dim,
-        )
+        s.reset_state()
         if not s.initialize():
             # EOF during re-bootstrap: the sequence is finished. Still write
             # the blank reset state back so later refine/accessor passes do

@@ -30,6 +30,11 @@ class SlamConfig:
     max_keyframes: int = 32  # F
     map_capacity: int = 4096  # P
     max_observations: int = 8  # O per point
+    # Evicted-keyframe pose archive capacity (A). The reference keeps every
+    # keyframe forever (src/Slam.h:42-47); the sliding-F window archives
+    # evicted poses so trajectory output/ATE cover frame 0 onward. 7 floats
+    # + an i32 per entry — raising it is free; the driver warns on overflow.
+    archive_capacity: int = 512
     # Frontend: K = n_per_cell * ceil(H/cell) * ceil(W/cell) keypoints.
     cell: int = 16
     n_per_cell: int = 2

@@ -104,6 +104,22 @@ def _commit_keyframe(
     ).astype(jnp.int32)
     slot = jnp.where(state.num_kf < F, state.num_kf, oldest)
 
+    # Archive the evicted keyframe's pose (at its last refined value) so the
+    # full trajectory from frame 0 stays evaluable — the reference never
+    # forgets a keyframe (src/Slam.h:42-47). OOB index + mode='drop' makes
+    # the append a no-op when no eviction happens (or the archive is full;
+    # arch_count keeps the true eviction total so the host can detect
+    # overflow).
+    A = state.arch_frame_index.shape[0]
+    evict = state.num_kf >= F
+    aidx = jnp.where(evict, state.arch_count, A).astype(jnp.int32)
+    arch_rvec = state.arch_rvec.at[aidx].set(kfs.rvec[oldest], mode="drop")
+    arch_t = state.arch_t.at[aidx].set(kfs.t[oldest], mode="drop")
+    arch_fi = state.arch_frame_index.at[aidx].set(
+        kfs.frame_index[oldest], mode="drop"
+    )
+    arch_count = state.arch_count + evict.astype(jnp.int32)
+
     # Scrub observations referencing the evicted slot, then drop map points
     # that lost their last observation (they can never be matched or culled
     # again — zombie slots would otherwise exhaust map capacity).
@@ -159,7 +175,13 @@ def _commit_keyframe(
     if cfg.bundle_adjust:
         K = feat.xy.shape[0]
         P = m.valid.shape[0]
-        budget = cfg.ba_commit_budget or -(-K // 128) * 128
+        # The exact worst case is one point per keypoint per FREE keyframe,
+        # so the default budget scales with the local-BA window — a W=1
+        # budget under W>1 would silently leave free-keyframe points
+        # un-refit (advisor r3).
+        budget = cfg.ba_commit_budget or (
+            max(1, cfg.local_ba_window) * (-(-K // 128) * 128)
+        )
         Pc = min(P, budget)
         if cfg.local_ba_window > 1:
             # Window free set: the W newest keyframes, keeping at least two
@@ -230,6 +252,10 @@ def _commit_keyframe(
         last_rvec=rvec,
         last_t=t,
         obs_desc=m.observation_descriptors(kfs)[0].astype(jnp.bfloat16),
+        arch_rvec=arch_rvec,
+        arch_t=arch_t,
+        arch_frame_index=arch_fi,
+        arch_count=arch_count,
     )
 
 
@@ -698,6 +724,7 @@ class Slam:
             O=config.max_observations,
             K=K,
             D=self.frontend.descriptor_dim,
+            A=config.archive_capacity,
         )
         self._mask = None if static_mask is None else jnp.asarray(static_mask)
         self._key = jax.random.PRNGKey(seed)
@@ -803,6 +830,36 @@ class Slam:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def reset_state(self) -> None:
+        """Fresh world state with this engine's compiled shapes (used by the
+        lost-tracking re-bootstrap and by benchmark replays)."""
+        K = self.frontend.num_keypoints(self.cam.height, self.cam.width)
+        self.state = SlamState.create(
+            F=self.cfg.max_keyframes,
+            P=self.cfg.map_capacity,
+            O=self.cfg.max_observations,
+            K=K,
+            D=self.frontend.descriptor_dim,
+            A=self.cfg.archive_capacity,
+        )
+
+    def reset_run(self, video) -> None:
+        """Reset world state AND driver bookkeeping for a fresh run over
+        `video` (benchmark replays reuse every compiled program)."""
+        self.reset_state()
+        self.video = iter(video)
+        self._frame_idx = 0
+        self._prefetched = None
+        self._frames_since_refine = 0
+        self._lost_streak = 0
+        self._frames_since_check = 0
+        self._pending_info = None
+        self.infos = []
+        self.refine_costs = []
+        self.segments = []
+        self.n_reinits = 0
+        self._arch_overflow_warned = False
+
     # -- public API ---------------------------------------------------------
     def initialize(self) -> bool:
         """Two-view bootstrap (src/Slam.cpp:32-87 + src/Init.cpp:8-63)."""
@@ -903,19 +960,12 @@ class Slam:
         self._lost_streak = 0
         self.segments.append(
             dict(
-                poses=self.poses(),
-                frame_indices=self.keyframe_indices(),
+                poses=self.poses(include_archived=True),
+                frame_indices=self.keyframe_indices(include_archived=True),
                 points=self.points(),
             )
         )
-        K = self.state.last_feat.xy.shape[0]
-        self.state = SlamState.create(
-            F=self.cfg.max_keyframes,
-            P=self.cfg.map_capacity,
-            O=self.cfg.max_observations,
-            K=K,
-            D=self.frontend.descriptor_dim,
-        )
+        self.reset_state()
         self.n_reinits += 1
         self._pending_info = None  # drop the in-flight info from the old map
         self.initialize()
@@ -963,6 +1013,15 @@ class Slam:
         prev_n = 0
         while max_frames is None or total < max_frames:
             want = batch if max_frames is None else min(batch, max_frames - total)
+            # Honest refinement cadence: never dispatch PAST a refine
+            # boundary, so `refine_every_frames` means frames at any batch
+            # size (round-3 audit: a 48-frame batch silently turned
+            # refine-16 into refine-48). A short sub-batch is padded with
+            # inactive slots and reuses the same compiled program; the cond'd
+            # no-op slots cost nothing on device, only the extra dispatch.
+            if self._refine_one is not None:
+                until = self.cfg.refine_every_frames - self._frames_since_refine
+                want = min(want, max(1, until))
             frames = self._decode_batch(want)
             if not frames:
                 break
@@ -1013,19 +1072,12 @@ class Slam:
         self._lost_streak = 0
         self.segments.append(
             dict(
-                poses=self.poses(),
-                frame_indices=self.keyframe_indices(),
+                poses=self.poses(include_archived=True),
+                frame_indices=self.keyframe_indices(include_archived=True),
                 points=self.points(),
             )
         )
-        K = self.state.last_feat.xy.shape[0]
-        self.state = SlamState.create(
-            F=self.cfg.max_keyframes,
-            P=self.cfg.map_capacity,
-            O=self.cfg.max_observations,
-            K=K,
-            D=self.frontend.descriptor_dim,
-        )
+        self.reset_state()
         self.n_reinits += 1
         self.initialize()
         self._prefetched = None
@@ -1040,14 +1092,52 @@ class Slam:
         slots = np.nonzero(v)[0]
         return slots[np.argsort(fi[slots], kind="stable")]
 
-    def poses(self) -> np.ndarray:
-        """[num_kf, 4, 4] keyframe poses in temporal order."""
-        s = self._kf_slots()
-        T = se3.pose_matrix(self.state.kfs.rvec[s], self.state.kfs.t[s])
-        return np.asarray(T)
+    def archived(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Evicted-keyframe archive: (frame_indices [N], rvec [N,3], t [N,3])
+        in eviction order == temporal order (eviction always takes the oldest
+        live keyframe). Warns once if evictions overflowed the archive."""
+        A = self.state.arch_frame_index.shape[0]
+        total = int(self.state.arch_count)
+        if total > A and not getattr(self, "_arch_overflow_warned", False):
+            self._arch_overflow_warned = True
+            import warnings
 
-    def keyframe_indices(self) -> np.ndarray:
-        return np.asarray(self.state.kfs.frame_index)[self._kf_slots()]
+            warnings.warn(
+                f"keyframe archive overflow: {total} evictions > capacity "
+                f"{A}; full-trajectory output is truncated — raise "
+                "SlamConfig.archive_capacity"
+            )
+        n = min(total, A)
+        return (
+            np.asarray(self.state.arch_frame_index)[:n],
+            np.asarray(self.state.arch_rvec)[:n],
+            np.asarray(self.state.arch_t)[:n],
+        )
+
+    def poses(self, include_archived: bool = False) -> np.ndarray:
+        """[N, 4, 4] keyframe poses in temporal order. With
+        include_archived, evicted keyframes (slam/state.py archive) are
+        prepended so the trajectory covers frame 0 onward — the reference
+        keeps every keyframe (src/Slam.h:42-47), so full-trajectory output
+        is the parity surface."""
+        s = self._kf_slots()
+        T = np.asarray(
+            se3.pose_matrix(self.state.kfs.rvec[s], self.state.kfs.t[s])
+        )
+        if not include_archived:
+            return T
+        _, arv, at = self.archived()
+        if len(arv) == 0:
+            return T
+        Ta = np.asarray(se3.pose_matrix(jnp.asarray(arv), jnp.asarray(at)))
+        return np.concatenate([Ta, T], axis=0)
+
+    def keyframe_indices(self, include_archived: bool = False) -> np.ndarray:
+        live = np.asarray(self.state.kfs.frame_index)[self._kf_slots()]
+        if not include_archived:
+            return live
+        afi, _, _ = self.archived()
+        return np.concatenate([afi, live], axis=0)
 
     def points(self) -> np.ndarray:
         m = self.state.map

@@ -166,9 +166,21 @@ class SlamState(NamedTuple):
     # controls how often it is recomputed; frames in between report this
     # cached value (-1 before the first computation).
     reproj_px: jnp.ndarray  # f32 scalar
+    # Evicted-keyframe pose archive. The reference keeps EVERY keyframe alive
+    # forever (src/Slam.h:42-47); the fixed-F sliding window must evict, but
+    # evicted poses are appended here (at their last refined value) so the
+    # full trajectory from frame 0 stays evaluable — trajectory output and
+    # ATE are computed over archive + live window, never just the window.
+    # Archived poses stay consistent with the live gauge because periodic
+    # refinement freezes the two OLDEST live keyframes (parallel/refine.py
+    # gauge_anchor_mask), so the world frame never moves under the archive.
+    arch_rvec: jnp.ndarray  # [A, 3]
+    arch_t: jnp.ndarray  # [A, 3]
+    arch_frame_index: jnp.ndarray  # [A] i32 (-1 = empty)
+    arch_count: jnp.ndarray  # i32 — total evictions (may exceed A; overflow drops)
 
     @staticmethod
-    def create(F: int, P: int, O: int, K: int, D: int) -> "SlamState":
+    def create(F: int, P: int, O: int, K: int, D: int, A: int = 512) -> "SlamState":
         return SlamState(
             kfs=KeyframeStore.create(F, K, D),
             map=MapState.create(P, O),
@@ -188,6 +200,10 @@ class SlamState(NamedTuple):
             frame_count=jnp.int32(0),
             obs_desc=jnp.zeros((P, O, D), jnp.bfloat16),
             reproj_px=jnp.float32(-1.0),
+            arch_rvec=jnp.zeros((A, 3)),
+            arch_t=jnp.zeros((A, 3)),
+            arch_frame_index=jnp.full((A,), -1, jnp.int32),
+            arch_count=jnp.int32(0),
         )
 
 

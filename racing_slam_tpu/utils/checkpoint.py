@@ -5,6 +5,12 @@ no persistence. Here the whole world state is one pytree of arrays, so
 checkpointing is a flat npz dump (fast, dependency-free) with an orbax
 backend available for async multi-host use. Saving every keyframe gives
 crash-recoverable sessions; `load_state` restores bit-identical state.
+
+Format (v2): each leaf is stored under its STABLE pytree key path
+("kfs.rvec", "map.pos", ...), plus a `__format_version__` marker. Fields
+added to SlamState in later releases are backfilled from
+`SlamState.create` defaults on load, so old checkpoints keep loading
+(the positional leaf_N layout of v1 broke on any schema change).
 """
 
 from __future__ import annotations
@@ -14,56 +20,79 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from ..slam.state import Features, KeyframeStore, MapState, SlamState
+from ..slam.state import SlamState
+
+FORMAT_VERSION = 2
+
+
+def _named_leaves(state: SlamState) -> dict:
+    """Flatten a SlamState to {dotted-path: array} with stable names."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    out = {}
+    for path, leaf in flat:
+        name = ".".join(
+            p.name if hasattr(p, "name") else str(p.idx) for p in path
+        )
+        out[name] = leaf
+    return out
 
 
 def save_state(path: str | Path, state: SlamState) -> None:
-    leaves, _ = jax.tree_util.tree_flatten(state)
-    out = {}
-    for i, x in enumerate(leaves):
+    out = {"__format_version__": np.int64(FORMAT_VERSION)}
+    for name, x in _named_leaves(state).items():
         a = np.asarray(x)
         if a.dtype.name == "bfloat16":  # npz cannot serialize ml_dtypes
-            out[f"leaf_{i}__bf16"] = a.astype(np.float32)
+            out[f"{name}__bf16"] = a.astype(np.float32)
         else:
-            out[f"leaf_{i}"] = a
+            out[name] = a
     np.savez_compressed(path, **out)
 
 
 def load_state(path: str | Path) -> SlamState:
-    import jax.numpy as _jnp
-
-    with np.load(path) as data:
-        leaves = []
-        for i in range(len(data.files)):
-            if f"leaf_{i}" in data:
-                leaves.append(data[f"leaf_{i}"])
-            else:
-                leaves.append(
-                    _jnp.asarray(data[f"leaf_{i}__bf16"], _jnp.bfloat16)
-                )
-    # Rebuild the pytree structure from a template with matching shapes.
     import jax.numpy as jnp
 
-    template_treedef = jax.tree_util.tree_structure(
-        SlamState(
-            kfs=KeyframeStore(*([0] * 8)),
-            map=MapState(*([0] * 6)),
-            num_kf=0,
-            last_kf_slot=0,
-            last_rvec=0,
-            last_t=0,
-            prev_rvec=0,
-            prev_t=0,
-            last_feat=Features(0, 0, 0, 0),
-            last_matches=0,
-            frame_count=0,
-            obs_desc=0,
-            reproj_px=0,
+    with np.load(path) as data:
+        files = set(data.files)
+        if "__format_version__" not in files:
+            raise ValueError(
+                f"{path} is a pre-v2 positional checkpoint (leaf_N layout), "
+                "which cannot be safely mapped onto the current SlamState "
+                "schema; re-save it with this release's save_state"
+            )
+        stored = {}
+        for f in files:
+            if f == "__format_version__":
+                continue
+            if f.endswith("__bf16"):
+                stored[f[: -len("__bf16")]] = jnp.asarray(
+                    data[f], jnp.bfloat16
+                )
+            else:
+                stored[f] = data[f]
+
+    # Template with the checkpoint's shapes; fields absent from the file
+    # (added after it was written) keep their create() defaults.
+    F, K, D = stored["kfs.desc"].shape
+    P, O = stored["map.obs_kf"].shape
+    A = (
+        stored["arch_frame_index"].shape[0]
+        if "arch_frame_index" in stored
+        else 512
+    )
+    template = SlamState.create(F=F, P=P, O=O, K=K, D=D, A=A)
+    names = list(_named_leaves(template).keys())
+    unknown = set(stored) - set(names)
+    if unknown:
+        raise ValueError(
+            f"{path} contains fields not in this release's SlamState: "
+            f"{sorted(unknown)}"
         )
-    )
-    return jax.tree_util.tree_unflatten(
-        template_treedef, [jnp.asarray(x) for x in leaves]
-    )
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    leaves = [
+        jnp.asarray(stored[n], x.dtype) if n in stored else x
+        for n, x in zip(names, flat)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def save_state_orbax(path: str | Path, state: SlamState) -> None:

@@ -167,6 +167,25 @@ def test_keyframe_eviction_keeps_tracking():
         - camera_centers(long_seq.poses[kf_idx])[0]
     )
     assert ate < 0.08 * max(length, 0.5), f"ATE {ate} vs window length {length}"
+    # Evicted keyframes are ARCHIVED, not forgotten (the reference keeps all
+    # keyframes, src/Slam.h:42-47): archive + live covers every committed
+    # keyframe, in temporal order, with no index appearing twice.
+    full_idx = slam.keyframe_indices(include_archived=True)
+    assert len(full_idx) == n_kf_committed
+    assert int(slam.state.arch_count) == n_kf_committed - 6
+    assert list(full_idx) == sorted(full_idx)
+    assert len(set(full_idx.tolist())) == len(full_idx)
+    full_poses = slam.poses(include_archived=True)
+    assert full_poses.shape == (n_kf_committed, 4, 4)
+    # Full-trajectory ATE from the bootstrap keyframe onward stays bounded.
+    gt_full = long_seq.poses[full_idx]
+    ate_full = ate_rmse(full_poses, gt_full)
+    len_full = np.linalg.norm(
+        camera_centers(gt_full)[-1] - camera_centers(gt_full)[0]
+    )
+    assert ate_full < 0.10 * max(len_full, 0.5), (
+        f"full-trajectory ATE {ate_full} vs length {len_full}"
+    )
 
 
 def test_run_batched_matches_per_frame_stepping(seq):
