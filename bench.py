@@ -105,22 +105,44 @@ def build_slam(cam, frames, cfg, variant: str, mask):
 
 
 def full_trajectory_ate(slam, seq) -> dict:
-    """Sim(3) ATE over archive + live keyframes — frame 0 onward."""
+    """Sim(3) ATE over the FULL run: every trajectory segment (re-inits
+    archive the previous segment), each segment covering archive + live
+    keyframes from its first frame. Segments are aligned independently (a
+    monocular re-bootstrap loses scale/frame continuity by construction);
+    the reported percentage is length-weighted across segments, and
+    `coverage` is the fraction of source frames inside some segment — a
+    run that silently stalls scores low coverage instead of hiding it."""
     from racing_slam_tpu.utils.metrics import ate_rmse, camera_centers
 
-    kf_idx = slam.keyframe_indices(include_archived=True)
-    est = slam.poses(include_archived=True)
-    gt = seq.poses[kf_idx]
-    ate = ate_rmse(est, gt)
-    length = float(
-        np.linalg.norm(camera_centers(gt)[-1] - camera_centers(gt)[0])
-    )
+    segs = list(slam.segments) + [
+        dict(
+            poses=slam.poses(include_archived=True),
+            frame_indices=slam.keyframe_indices(include_archived=True),
+        )
+    ]
+    tot_ate, tot_len, covered, n_kf = 0.0, 0.0, 0, 0
+    spans = []
+    for s in segs:
+        idx = np.asarray(s["frame_indices"])
+        est = np.asarray(s["poses"])
+        if len(idx) < 3:
+            continue
+        gt = seq.poses[idx]
+        tot_ate += float(ate_rmse(est, gt))
+        tot_len += float(
+            np.linalg.norm(camera_centers(gt)[-1] - camera_centers(gt)[0])
+        )
+        covered += int(idx[-1]) - int(idx[0]) + 1
+        n_kf += len(idx)
+        spans.append([int(idx[0]), int(idx[-1])])
     return dict(
-        ate=float(ate),
-        length=length,
-        n_kf=len(kf_idx),
-        n_archived=len(kf_idx) - len(slam.keyframe_indices()),
-        kf_span=[int(kf_idx[0]), int(kf_idx[-1])],
+        ate=tot_ate,
+        length=max(tot_len, 1e-9),
+        coverage=covered / len(seq.frames),
+        n_kf=n_kf,
+        n_archived=len(slam.keyframe_indices(include_archived=True))
+        - len(slam.keyframe_indices()),
+        kf_span=spans,
     )
 
 
@@ -244,7 +266,8 @@ def run_one(seed: int, cam, cfg, variant: str, n_frames: int, batch: int,
         f"  measured: {n} frames -> best {fps:.2f} fps of "
         f"{['%.1f' % f for f in fps_reps]} (+{t_init:.2f}s bootstrap); "
         f"kf={acc['n_kf']} ({acc['n_archived']} archived, "
-        f"span {acc['kf_span']}) pts={int(slam.state.map.num_points())} "
+        f"spans {acc['kf_span']}, coverage {acc['coverage']:.2f}) "
+        f"pts={int(slam.state.map.num_points())} "
         f"reinits={slam.n_reinits} reproj={slam.reprojection_error():.2f}px | "
         f"full-traj ATE {ate:.4f} / len {length:.2f} "
         f"({100*ate/max(length,1e-9):.2f}%)"
@@ -254,6 +277,7 @@ def run_one(seed: int, cam, cfg, variant: str, n_frames: int, batch: int,
     log(f"  device-staged replay: {dev_fps:.2f} fps")
     return dict(seed=seed, fps=fps, fps_reps=fps_reps, device_fps=dev_fps,
                 ate=ate, length=length, slam=slam, n=n,
+                coverage=acc["coverage"],
                 n_reinits=slam.n_reinits, acc=acc)
 
 
@@ -305,8 +329,16 @@ def main():
                     choices=("classical", "lightglue", "learned"))
     ap.add_argument("--masked", action="store_true")
     ap.add_argument("--radius", type=float, default=28.0)
-    ap.add_argument("--prediction", default="constant_position",
-                    choices=("constant_position", "constant_velocity"))
+    ap.add_argument("--prediction", default="adaptive",
+                    choices=("constant_position", "constant_velocity",
+                             "adaptive"),
+                    help="initial-pose model; 'adaptive' falls back to "
+                         "essential-matrix prediction in starved stretches "
+                         "(lax.cond: free when healthy)")
+    ap.add_argument("--min-commit-inliers", type=int, default=40,
+                    help="absolute keyframe-commit floor (0 = reference's "
+                         "purely relative 0.9 rule, which zombie-locks on "
+                         "long starved stretches; see SlamConfig)")
     ap.add_argument("--essential", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="essential-matrix initial pose (RANSAC) instead of "
@@ -320,6 +352,14 @@ def main():
     ap.add_argument("--local-ba-window", type=int, default=1,
                     help="keyframes freed by the commit-time local BA "
                          "(1 = reference shape: newest only)")
+    ap.add_argument("--map-capacity", type=int, default=4096,
+                    help="map point capacity P (scale bench: 16384)")
+    ap.add_argument("--max-keyframes", type=int, default=32,
+                    help="live keyframe window F (scale bench: 64)")
+    ap.add_argument("--match-backend", default="auto",
+                    choices=("auto", "pallas", "banded", "xla"),
+                    help="guided-matcher backend; 'banded' = grid-hash "
+                         "(sorted spatial banding) for large maps")
     args = ap.parse_args()
 
     import jax
@@ -337,15 +377,17 @@ def main():
     cfg = SlamConfig(
         match_radius_px=args.radius,
         pose_prediction=args.prediction,
+        min_commit_inliers=args.min_commit_inliers,
         essential_matrix_estimation=args.essential,
         triangulate_points=True,
         bundle_adjust=True,
         optimize_pose=True,
         cull_points=True,
-        max_keyframes=32,
-        map_capacity=4096,
+        max_keyframes=args.max_keyframes,
+        map_capacity=args.map_capacity,
         max_observations=8,
         archive_capacity=512,
+        matching_backend=args.match_backend,
         matcher="lightglue" if args.variant in ("lightglue", "learned") else "classical",
         # Monitoring only at keyframe commits (the reference recomputes the
         # [F, K] reprojection pass every frame purely for its per-frame
@@ -372,18 +414,23 @@ def main():
     fps_list = sorted(r["fps"] for r in results)
     dev_list = sorted(r["device_fps"] for r in results)
     ate_pct = sorted(100 * r["ate"] / max(r["length"], 1e-9) for r in results)
+    cov_list = sorted(r["coverage"] for r in results)
     fps_med = float(np.median(fps_list))
     dev_med = float(np.median(dev_list))
     ate_med = float(np.median([r["ate"] for r in results]))
     ate_pct_med = float(np.median(ate_pct))
+    cov_med = float(np.median(cov_list))
     log(f"median over {len(seeds)} seeds: {fps_med:.1f} fps wall "
         f"(device-staged {dev_med:.1f}), full-trajectory ATE "
-        f"{ate_pct_med:.2f}% of length (range {ate_pct[0]:.2f}-{ate_pct[-1]:.2f})")
+        f"{ate_pct_med:.2f}% of length (range {ate_pct[0]:.2f}-{ate_pct[-1]:.2f}), "
+        f"coverage {cov_med:.2f} (worst {cov_list[0]:.2f})")
 
-    # Accuracy gate: throughput with a broken trajectory is meaningless.
-    if not np.isfinite(fps_med) or ate_pct_med > 10.0:
-        log(f"FATAL: accuracy check failed (median ATE {ate_pct_med:.2f}% of "
-            f"trajectory length > 10%)")
+    # Accuracy gate: throughput with a broken trajectory is meaningless —
+    # and so is accuracy over a trajectory that silently stopped covering
+    # the sequence (the round-3 audit's window-local blind spot).
+    if not np.isfinite(fps_med) or ate_pct_med > 10.0 or cov_med < 0.85:
+        log(f"FATAL: accuracy check failed (median ATE {ate_pct_med:.2f}% "
+            f"> 10% or median coverage {cov_med:.2f} < 0.85)")
         sys.exit(1)
 
     rate = ba_throughput(results[-1]["slam"], cfg, cam)
@@ -393,6 +440,8 @@ def main():
         name += f"_{args.variant}"
     if args.masked:
         name += "_masked"
+    if args.map_capacity != 4096 or args.max_keyframes != 32:
+        name += f"_P{args.map_capacity}_F{args.max_keyframes}"
     print(
         json.dumps(
             {
@@ -410,6 +459,8 @@ def main():
                 "seeds": seeds,
                 "fps_range": [round(fps_list[0], 1), round(fps_list[-1], 1)],
                 "ate_pct_range": [round(ate_pct[0], 2), round(ate_pct[-1], 2)],
+                "coverage": round(cov_med, 3),
+                "coverage_range": [round(cov_list[0], 3), round(cov_list[-1], 3)],
                 "reinits": [r["n_reinits"] for r in results],
                 "ba_iters_per_s": round(rate, 1),
                 "reference_rerun_fps": REFERENCE_RERUN_FPS,

@@ -112,13 +112,25 @@ def _ln(x):
     return (x - mu) * jax.lax.rsqrt(var + 1e-6)
 
 
-def _mha(q, k, v, mask_q, mask_k):
-    """Multi-head attention: q [Kq, H, dh], k/v [Kk, H, dh]."""
-    dh = q.shape[-1]
-    logits = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(dh)
-    logits = jnp.where(mask_k[None, None, :], logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1)
-    msg = jnp.einsum("hqk,khd->qhd", attn, v)
+def _mha(q, k, v, mask_q, mask_k, backend: str = "xla"):
+    """Multi-head attention: q [Kq, H, dh], k/v [Kk, H, dh].
+
+    backend "pallas" runs the fused flash kernel
+    (ops/pallas/attention_kernel.py): no [H, K, K] logits in HBM — the
+    dominant cost of the XLA path at matcher shapes (K=2400: ~92 MB per
+    attention site, 16 sites per call)."""
+    if backend in ("pallas", "pallas_interpret"):
+        from ..ops.pallas.attention_kernel import flash_mha
+
+        msg = flash_mha(
+            q, k, v, mask_k, interpret=backend == "pallas_interpret"
+        )
+    else:
+        dh = q.shape[-1]
+        logits = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(dh)
+        logits = jnp.where(mask_k[None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        msg = jnp.einsum("hqk,khd->qhd", attn, v)
     return jnp.where(mask_q[:, None, None], msg, 0.0)
 
 
@@ -133,13 +145,14 @@ def _merge_heads(x):
 
 
 def _layer(
-    p: LayerParams, t0, t1, xy0, xy1, m0, m1
+    p: LayerParams, t0, t1, rope0, rope1, m0, m1, backend: str = "xla"
 ):
     """One LightGlue layer: rotary self-attention then cross-attention, each
-    followed by a gated-MLP token update (token <- token + MLP([token|msg]))."""
-    D = t0.shape[-1]
-    cos0, sin0 = _rotary_2d(xy0, D // HEADS)
-    cos1, sin1 = _rotary_2d(xy1, D // HEADS)
+    followed by a gated-MLP token update (token <- token + MLP([token|msg])).
+    rope0/rope1 are the precomputed (cos, sin) pairs — identical for every
+    layer, so the caller hoists them out of the layer loop."""
+    cos0, sin0 = rope0
+    cos1, sin1 = rope1
 
     def self_attn(t, cos, sin, m):
         tn = _ln(t)
@@ -147,7 +160,9 @@ def _layer(
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _apply_rope(_split_heads(q), cos, sin)
         k = _apply_rope(_split_heads(k), cos, sin)
-        msg = _merge_heads(_mha(q, k, _split_heads(v), m, m)) @ p.self_out_w
+        msg = _merge_heads(
+            _mha(q, k, _split_heads(v), m, m, backend)
+        ) @ p.self_out_w
         upd = jax.nn.gelu(
             jnp.concatenate([tn, _ln(msg)], -1) @ p.self_mlp_w + p.self_mlp_b
         )
@@ -161,7 +176,7 @@ def _layer(
         qa = _split_heads(tan @ p.cross_qk_w)
         kb = _split_heads(tbn @ p.cross_qk_w)
         vb = _split_heads(tbn @ p.cross_v_w)
-        msg = _merge_heads(_mha(qa, kb, vb, ma, mb))
+        msg = _merge_heads(_mha(qa, kb, vb, ma, mb, backend))
         upd = jax.nn.gelu(
             jnp.concatenate([tan, _ln(msg)], -1) @ p.cross_mlp_w + p.cross_mlp_b
         )
@@ -181,20 +196,33 @@ def assignment_scores(
     xy1: jnp.ndarray,
     valid1: jnp.ndarray,
     image_size: tuple[float, float],
+    attn_backend: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full forward pass -> (scores [K0, K1], matchability0, matchability1).
 
     scores combine double-softmax similarity with matchability sigmoids
     (LightGlue eq. 8-style partial assignment).
+
+    attn_backend: "auto" = fused flash kernel on TPU, XLA einsum elsewhere
+    (interpret-mode Pallas is too slow for CPU; training keeps "xla" for
+    plain autodiff).
     """
+    if attn_backend == "auto":
+        attn_backend = (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
     w, h = image_size
     n0 = (xy0 - jnp.array([w / 2, h / 2])) / max(w, h)
     n1 = (xy1 - jnp.array([w / 2, h / 2])) / max(w, h)
 
     t0 = desc0 @ params.in_proj_w
     t1 = desc1 @ params.in_proj_w
+    if params.layers:
+        D = t0.shape[-1]
+        rope0 = _rotary_2d(n0, D // HEADS)
+        rope1 = _rotary_2d(n1, D // HEADS)
     for p in params.layers:
-        t0, t1 = _layer(p, t0, t1, n0, n1, valid0, valid1)
+        t0, t1 = _layer(p, t0, t1, rope0, rope1, valid0, valid1, attn_backend)
 
     t0 = _ln(t0) if len(params.layers) else t0
     t1 = _ln(t1) if len(params.layers) else t1
@@ -221,11 +249,13 @@ def match(
     valid1: jnp.ndarray,
     image_size: tuple[float, float],
     threshold: float = 0.1,
+    attn_backend: str = "auto",
 ) -> FrameMatches:
     """Mutual-argmax matches from the assignment scores; output indexed by
     image-1 keypoints (train_idx -> image 0), like ops.matching.match_frames."""
     scores, _, _ = assignment_scores(
-        params, desc0, xy0, valid0, desc1, xy1, valid1, image_size
+        params, desc0, xy0, valid0, desc1, xy1, valid1, image_size,
+        attn_backend=attn_backend,
     )
     best0_for_1 = jnp.argmax(scores, axis=0)  # [K1]
     best1_for_0 = jnp.argmax(scores, axis=1)  # [K0]

@@ -332,12 +332,13 @@ class MultiSlam:
     # -- failure detection / recovery ---------------------------------------
     def _check_lost(self, infos, ns_global: np.ndarray) -> None:
         """Declare a sequence lost after `lost_patience` consecutive
-        low-match frames (same rule as Slam._check_batch), archive its
-        finished segment, and re-bootstrap it from its current stream
-        position — the other sequences keep tracking undisturbed. Runs the
-        SAME decision on every process (global counts); only the owning
-        process touches the lost sequence's data."""
-        counts = self._read_rows(infos.n_matches_total)  # [S_global, batch]
+        low-INLIER frames (same rule as Slam._check_batch; see
+        StepInfo.n_inliers for why raw match counts are not a loss signal),
+        archive its finished segment, and re-bootstrap it from its current
+        stream position — the other sequences keep tracking undisturbed.
+        Runs the SAME decision on every process (global counts); only the
+        owning process touches the lost sequence's data."""
+        counts = self._read_rows(infos.n_inliers)  # [S_global, batch]
         lost: list[int] = []
         for g in range(self.S):
             if ns_global[g] == 0 or self.finished[g]:

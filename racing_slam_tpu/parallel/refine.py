@@ -60,6 +60,36 @@ def build_global_problem(state: SlamState) -> BAProblem:
     )
 
 
+def build_global_problem_compact(
+    state: SlamState, budget: int
+) -> tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
+    """Like build_global_problem, but compacted to <= budget live points
+    (most-observed first, MapState.ba_point_selection_mask) so the LM loop
+    iterates [budget, O] tensors instead of the full map capacity — live
+    points are typically a quarter of capacity, and refine cost scales with
+    the point axis. Overflowing points (rare: live > budget) keep their
+    positions and are re-checked by the post-refine cull.
+    Returns (problem, sel [budget] map slots, sel_ok [budget])."""
+    kfs, m = state.kfs, state.map
+    anchors = gauge_anchor_mask(kfs.valid, kfs.frame_index)
+    sel, sel_ok = m.ba_point_selection_mask(m.valid, budget)
+    obs_kf = m.obs_kf[sel]
+    obs_kp = m.obs_kp[sel]
+    prob = BAProblem(
+        cam_rvec=kfs.rvec,
+        cam_t=kfs.t,
+        points=m.pos[sel],
+        obs_cam=obs_kf,
+        obs_uv=kfs.kp_xy[obs_kf, obs_kp],
+        obs_valid=m.obs_valid[sel] & sel_ok[:, None],
+        cam_free=kfs.valid & ~anchors,
+        cam_in_problem=kfs.valid,
+        point_free=sel_ok,
+        point_in_problem=sel_ok,
+    )
+    return prob, sel, sel_ok
+
+
 def apply_refinement(state: SlamState, res: BAResult) -> SlamState:
     """Write refined poses/points back into the live state.
 
@@ -98,6 +128,18 @@ def apply_refinement(state: SlamState, res: BAResult) -> SlamState:
         prev_rvec=prev_rvec,
         prev_t=prev_t,
     )
+
+
+def apply_refinement_compact(
+    state: SlamState, res: BAResult, sel: jnp.ndarray, sel_ok: jnp.ndarray
+) -> SlamState:
+    """apply_refinement for the compacted problem: scatter the refined
+    point positions back into their map slots (poses are full-size)."""
+    P = state.map.pos.shape[0]
+    tgt = jnp.where(sel_ok, sel, P)
+    pos = state.map.pos.at[tgt].set(res.points, mode="drop")
+    full = res._replace(points=pos)
+    return apply_refinement(state, full)
 
 
 def make_refine_step(

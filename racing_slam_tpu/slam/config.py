@@ -42,6 +42,16 @@ class SlamConfig:
 
     # Thresholds (reference values cited per field).
     keyframe_match_ratio: float = 0.9  # src/Slam.cpp:114
+    # Absolute keyframe-commit floor: ALSO commit when post-solve inliers
+    # fall below this (0 = reference parity: relative rule only). The
+    # reference's purely relative 0.9 rule has a death trap measured on
+    # long sequences: one starved commit (say 22 matches) lowers the bar to
+    # ~20, which spurious matches on a stale map exceed forever — commits
+    # stop, triangulation stops, the map never refills, tracking zombifies.
+    # An absolute floor keeps committing (and therefore triangulating fresh
+    # geometry) through sparse stretches; the 3 px cull and periodic
+    # refinement absorb the extra noise.
+    min_commit_inliers: int = 0
     cull_reproj_px: float = 3.0  # src/Slam.cpp:234
     min_init_points: int = 50  # src/Init.h:19
     max_ref_chances: int = 5  # src/Init.h:18
@@ -102,6 +112,11 @@ class SlamConfig:
     lightglue_threshold: float = 0.35
     # Guided-matcher backend: "auto" = fused Pallas kernel on TPU, XLA
     # fallback elsewhere (interpret-mode Pallas is too slow for CPU runs).
+    # "banded" = the grid-hash variant (ops/matching._banded_stage1): both
+    # sides sorted spatially, per-point-tile keypoint BANDS via searchsorted,
+    # compute ~ gated points x band instead of P x K — the scale path for
+    # map_capacity >= 8192 (replaces the reference's KD-tree radius query,
+    # src/KDTree.cpp:45-82, which the dense gate replaced at small P).
     matching_backend: str = "auto"
     # Motion-BA backend: "auto" = fused single-kernel Pallas LM loop on TPU
     # (ops/pallas/motion_ba_kernel.py), XLA while_loop elsewhere.
@@ -116,7 +131,15 @@ class SlamConfig:
     # position model mispredicts by several px per frame, which starves the
     # 20 px projected match gate exactly in low-texture stretches; the
     # velocity model keeps the gate centered for free (no RANSAC cost).
+    # "adaptive" = constant position while tracking is healthy, switching to
+    # essential-matrix frame-to-frame prediction (the reference's
+    # essential_matrix_estimation path, src/Slam.cpp:127-132, under
+    # lax.cond so it costs NOTHING when not taken) whenever the previous
+    # frame's inlier count drops below adaptive_pred_inliers — measured to
+    # carry tracking through map-starved stretches where the position model
+    # spirals (pose dragged by spurious matches onto the stale map).
     pose_prediction: str = "constant_position"
+    adaptive_pred_inliers: int = 40
     # Guided-match gate radius (reference: 20 px KD-tree query,
     # src/features/FeatureExtractor.cpp:55). In the dense masked-distance
     # design the radius is just a mask threshold — a wider gate costs ZERO
@@ -130,10 +153,16 @@ class SlamConfig:
     # Failure detection / recovery (new capability; the reference only prints
     # "Initialization failed" and keeps going — src/Slam.cpp:38-41). Tracking
     # is declared lost after `lost_patience` consecutive frames with fewer
-    # than `min_track_matches` map matches; if `reinit_on_lost`, the engine
-    # archives the finished trajectory segment and re-runs the two-view
-    # bootstrap from the current stream position.
+    # than `min_track_matches` post-solve INLIERS (matches with < inlier_px
+    # residual after the final motion BA; StepInfo.n_inliers). Raw match
+    # counts are NOT a loss signal: a stale map over a dense keypoint grid
+    # keeps producing spurious descriptor matches forever (measured: seeds
+    # stalled for 250 frames at healthy-looking match counts), while inliers
+    # collapse. If `reinit_on_lost`, the engine archives the finished
+    # trajectory segment and re-runs the two-view bootstrap from the current
+    # stream position.
     min_track_matches: int = 30
+    inlier_px: float = 3.0
     lost_patience: int = 2
     reinit_on_lost: bool = True
     # Loss checks read one scalar back from the device; over a remote-chip
@@ -151,6 +180,12 @@ class SlamConfig:
     # consistent and stops ATE growing with sequence length. 0 = off.
     refine_every_frames: int = 0
     refine_iters: int = 10
+    # Refinement point budget: the global problem is compacted to this many
+    # live points (most-observed first) so refine cost scales with live map
+    # size, not capacity (live points run ~25% of capacity on the bench
+    # world). 0 = solve over full capacity. Overflow points keep their
+    # positions and face the post-refine cull.
+    refine_budget: int = 2048
 
     # Per-frame monitoring: the keyframe reprojection error in StepInfo is a
     # full [F, K] projection pass over every keyframe's matches

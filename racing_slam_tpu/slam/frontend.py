@@ -47,17 +47,21 @@ class LightGlueMatcher:
     # pairs (models/train.py eval): at 0.35 the trained matcher beats the
     # classical mutual-1NN on BOTH precision (.949 vs .906) and recall
     # (.937 vs .931).
-    def __init__(self, params, image_size: tuple[float, float], threshold: float = 0.35):
+    def __init__(self, params, image_size: tuple[float, float],
+                 threshold: float = 0.35, attn_backend: str = "auto"):
         self.params = params
         self.image_size = image_size
         self.threshold = threshold
+        # "auto" = fused flash-attention Pallas kernel on TPU
+        # (ops/pallas/attention_kernel.py), XLA einsum elsewhere.
+        self.attn_backend = attn_backend
 
     def __call__(self, desc0, xy0, valid0, desc1, xy1, valid1):
         from ..models import lightglue
 
         return lightglue.match(
             self.params, desc0, xy0, valid0, desc1, xy1, valid1,
-            self.image_size, self.threshold,
+            self.image_size, self.threshold, attn_backend=self.attn_backend,
         )
 
 

@@ -65,6 +65,12 @@ class StepInfo(NamedTuple):
     n_points: jnp.ndarray
     n_keyframes: jnp.ndarray
     reproj_error_px: jnp.ndarray
+    # Matches that survive the pose solve: residual < 3 px after the final
+    # motion BA. Raw match counts can stay high on a STALE map (dense
+    # keypoint grids give every projection ~15 candidates within the gate,
+    # so spurious descriptor matches persist after tracking dies); inliers
+    # collapse, making this the loss-detection signal.
+    n_inliers: jnp.ndarray
 
 
 def _huber(cfg: SlamConfig, cam: Camera) -> float:
@@ -303,6 +309,58 @@ def slam_step(
             est.pose, se3.pose_matrix(state.last_rvec, state.last_t)
         )
         rvec, t = se3.rt_from_matrix(pose)
+    elif cfg.pose_prediction == "adaptive":
+        # Healthy tracking: constant position (free). Starved tracking
+        # (previous frame's inliers below the threshold): essential-matrix
+        # frame-to-frame prediction — the stale-map position model is
+        # exactly what drags the pose off during sparse stretches, while
+        # frame-to-frame geometry stays sound. lax.cond executes only the
+        # taken branch, so the matcher+RANSAC cost only exists in the rare
+        # starved frames.
+        def _essential_pred(_):
+            fm = frontend.matcher(
+                state.last_feat.desc,
+                state.last_feat.xy,
+                state.last_feat.valid,
+                feat.desc,
+                feat.xy,
+                feat.valid,
+            )
+            uv1 = state.last_feat.xy[fm.train_idx]
+            est = estimate_relative_pose(
+                cam,
+                uv1,
+                feat.xy,
+                fm.valid,
+                key,
+                num_hypotheses=cfg.ransac_hypotheses,
+                threshold_px=cfg.ransac_threshold_px,
+            )
+            # Constant-speed prior: the essential decomposition's
+            # translation is unit-norm (monocular scale is unobservable) —
+            # composing it raw would add ~unit-length jumps per starved
+            # frame, and the motion BA has too few good map matches there
+            # to rescale it (measured: 12-18% full-trajectory ATE).
+            # Rescale the relative translation to the previous inter-frame
+            # camera-center displacement: direction from 2-view geometry,
+            # magnitude from the motion prior.
+            T_last = se3.pose_matrix(state.last_rvec, state.last_t)
+            T_prev = se3.pose_matrix(state.prev_rvec, state.prev_t)
+            c_last = -T_last[:3, :3].T @ T_last[:3, 3]
+            c_prev = -T_prev[:3, :3].T @ T_prev[:3, 3]
+            speed = jnp.linalg.norm(c_last - c_prev)
+            rel_t = est.pose[:3, 3]
+            rel_t = rel_t / (jnp.linalg.norm(rel_t) + 1e-9) * speed
+            rel = est.pose.at[:3, 3].set(rel_t)
+            pose = se3.compose(rel, T_last)
+            return se3.rt_from_matrix(pose)
+
+        rvec, t = jax.lax.cond(
+            state.last_inliers < cfg.adaptive_pred_inliers,
+            _essential_pred,
+            lambda _: (state.last_rvec, state.last_t),
+            None,
+        )
     elif cfg.pose_prediction == "constant_velocity":
         # Constant-velocity model: extrapolate the last relative motion,
         # T_pred = (T_last inv(T_prev)) T_last. Keeps the 20 px projected
@@ -400,6 +458,23 @@ def slam_step(
     n_last = state.kfs.num_matches(last_slot)
     is_kf = n_total < cfg.keyframe_match_ratio * n_last
 
+    # Post-solve inlier count (see StepInfo.n_inliers): one [K] projection.
+    from ..ops.camera import project_with_depth
+
+    uv_m, depth_m = project_with_depth(
+        cam, se3.pose_matrix(rvec, t), state.map.pos[jnp.clip(matches, 0)]
+    )
+    reproj_m = jnp.linalg.norm(uv_m - feat.xy, axis=-1)
+    n_inliers = jnp.sum(
+        (matches >= 0) & feat.valid & (depth_m > 0.0)
+        & (reproj_m < cfg.inlier_px)
+    )
+    if cfg.min_commit_inliers:
+        # Absolute commit floor (see SlamConfig.min_commit_inliers): keep
+        # triangulating fresh geometry through starved stretches instead of
+        # letting the relative rule's bar chase the starvation down.
+        is_kf = is_kf | (n_inliers < cfg.min_commit_inliers)
+
     state = state._replace(
         last_rvec=rvec,
         last_t=t,
@@ -407,6 +482,7 @@ def slam_step(
         prev_t=state.last_t,
         last_feat=feat,
         last_matches=matches,
+        last_inliers=n_inliers.astype(jnp.int32),
     )
     state = jax.lax.cond(
         is_kf,
@@ -457,6 +533,7 @@ def slam_step(
         n_points=state.map.num_points(),
         n_keyframes=state.num_kf,
         reproj_error_px=state.reproj_px,
+        n_inliers=n_inliers,
     )
     return state, info
 
@@ -474,6 +551,7 @@ def _null_info(state: SlamState) -> StepInfo:
         n_points=z,
         n_keyframes=state.num_kf,
         reproj_error_px=state.reproj_px.astype(jnp.float32),
+        n_inliers=z,
     )
 
 
@@ -651,6 +729,10 @@ def commit_initialization(
         last_matches=kfs.matches[1],
         frame_count=query_index.astype(jnp.int32) + 1,
         obs_desc=m.observation_descriptors(kfs)[0].astype(jnp.bfloat16),
+        # Fresh bootstrap = healthy tracking: seed the adaptive-prediction
+        # signal with the accepted match count so the first post-init frame
+        # uses the constant-position model.
+        last_inliers=jnp.sum(match_valid).astype(jnp.int32),
     )
 
 
@@ -728,6 +810,13 @@ class Slam:
         )
         self._mask = None if static_mask is None else jnp.asarray(static_mask)
         self._key = jax.random.PRNGKey(seed)
+        # Host-side PRNG key source for the batched driver: a jax PRNG key is
+        # raw uint32[2] data, so drawing key material from a host RNG avoids
+        # two device round trips per batch (jax.random.split over the remote
+        # tunnel costs ~10-30 ms dispatch latency each). Deterministic per
+        # (seed, batch index); step()/initialize() keep the split chain.
+        self._seed = seed
+        self._host_rng = np.random.default_rng(seed ^ 0xA5A5_5A5A)
         self._frame_idx = 0
         self._prefetched = None
 
@@ -765,17 +854,29 @@ class Slam:
         self.refine_costs: list = []
         if config.refine_every_frames:
             from ..ops.ba import full_ba
-            from ..parallel.refine import apply_refinement, build_global_problem
+            from ..parallel.refine import (
+                apply_refinement,
+                apply_refinement_compact,
+                build_global_problem,
+                build_global_problem_compact,
+            )
 
             def _refine_fn(state: SlamState):
-                prob = build_global_problem(state)
+                if config.refine_budget:
+                    Rc = min(config.map_capacity, config.refine_budget)
+                    prob, sel, sel_ok = build_global_problem_compact(state, Rc)
+                else:
+                    prob = build_global_problem(state)
                 res = full_ba(
                     cam,
                     prob,
                     max_iters=config.refine_iters,
                     huber_delta=_huber(config, cam),
                 )
-                state = apply_refinement(state, res)
+                if config.refine_budget:
+                    state = apply_refinement_compact(state, res, sel, sel_ok)
+                else:
+                    state = apply_refinement(state, res)
                 # Post-refine outlier rejection (same 3 px rule as the
                 # commit path, src/Slam.cpp:221-243): a full-window BA has
                 # no other defense against bad associations — without this
@@ -850,6 +951,7 @@ class Slam:
         self.video = iter(video)
         self._frame_idx = 0
         self._prefetched = None
+        self._host_rng = np.random.default_rng(self._seed ^ 0xA5A5_5A5A)
         self._frames_since_refine = 0
         self._lost_streak = 0
         self._frames_since_check = 0
@@ -951,7 +1053,7 @@ class Slam:
         low-match frames; archive the segment and re-bootstrap. Returns
         False when a re-initialization was attempted (the caller then moves
         on to the next frame, or hits EOF if the bootstrap exhausted it)."""
-        if int(info.n_matches_total) >= self.cfg.min_track_matches:
+        if int(info.n_inliers) >= self.cfg.min_track_matches:
             self._lost_streak = 0
             return True
         self._lost_streak += 1
@@ -1008,7 +1110,6 @@ class Slam:
         assert self._prefetched is None, "do not mix step() and run_batched()"
         self.batch_infos: list[StepInfo] = []
         total = 0
-        batches_since_check = 0
         prev_infos: StepInfo | None = None
         prev_n = 0
         while max_frames is None or total < max_frames:
@@ -1028,9 +1129,18 @@ class Slam:
             n = len(frames)
             if n < batch:
                 frames = frames + [frames[-1]] * (batch - n)
-            imgs = jax.device_put(np.stack(frames))
-            keys = jax.random.split(self._subkey(), batch)
-            active = jnp.asarray(np.arange(batch) < n)
+            # ONE combined host->device transfer per batch: images + host-
+            # drawn PRNG keys + the active mask ride together. Separate
+            # device_put / jax.random.split / asarray calls each cost a
+            # 10-30 ms tunnel round trip — at batch=48 that was ~40% of
+            # wall-clock step time on the remote chip.
+            imgs, keys, active = jax.device_put((
+                np.stack(frames),
+                self._host_rng.integers(
+                    0, 1 << 32, size=(batch, 2), dtype=np.uint32
+                ),
+                np.arange(batch) < n,
+            ))
             self.state, infos = self._step_batch(
                 self.state, imgs, keys, active, self._mask
             )
@@ -1039,17 +1149,30 @@ class Slam:
             self._maybe_refine(n)
             if not self.cfg.reinit_on_lost:
                 continue
-            batches_since_check += 1
-            if batches_since_check >= max(1, self.cfg.lost_check_interval):
-                batches_since_check = 0
-                # Read the PREVIOUS batch's counts: it has finished while this
-                # batch was dispatched, so the transfer does not stall.
-                if prev_infos is not None and not self._check_batch(
-                    prev_infos, prev_n
-                ):
-                    prev_infos, prev_n = None, 0
-                    continue
-                prev_infos, prev_n = infos, n
+            # Check EVERY batch (unlike the per-frame driver's sampled
+            # checks): the previous batch's infos are already computed when
+            # the current batch is dispatched, so the readback is one cheap
+            # transfer per batch, and a lost sequence is caught within ~2
+            # batches instead of interval x batches later.
+            if prev_infos is not None and not self._check_batch(
+                prev_infos, prev_n
+            ):
+                prev_infos, prev_n = None, 0
+                continue
+            # If the previous batch already showed starvation, also check
+            # the CURRENT batch immediately (blocking readback). In healthy
+            # runs this never triggers, preserving upload/compute overlap;
+            # in degraded stretches it halves the zombie window before the
+            # re-bootstrap.
+            if (
+                prev_infos is not None
+                and (np.asarray(prev_infos.n_inliers)[:prev_n]
+                     < self.cfg.min_track_matches).any()
+                and not self._check_batch(infos, n)
+            ):
+                prev_infos, prev_n = None, 0
+                continue
+            prev_infos, prev_n = infos, n
         # Close the run with a final refinement if frames accumulated since
         # the last one: callers read the state right after run_batched, and
         # a window refined N frames ago is measurably worse than one refined
@@ -1063,11 +1186,12 @@ class Slam:
     def _check_batch(self, infos: StepInfo, n: int) -> bool:
         """Loss detection over a completed batch's stacked infos. Returns
         False when tracking was declared lost and a re-bootstrap ran."""
-        counts = np.asarray(infos.n_matches_total)[:n]
-        lost_run = 0
+        counts = np.asarray(infos.n_inliers)[:n]
+        lost_run = self._lost_streak  # streak persists across batches
         for c in counts:
             lost_run = lost_run + 1 if c < self.cfg.min_track_matches else 0
         if lost_run < self.cfg.lost_patience:
+            self._lost_streak = lost_run
             return True
         self._lost_streak = 0
         self.segments.append(

@@ -178,6 +178,10 @@ class SlamState(NamedTuple):
     arch_t: jnp.ndarray  # [A, 3]
     arch_frame_index: jnp.ndarray  # [A] i32 (-1 = empty)
     arch_count: jnp.ndarray  # i32 — total evictions (may exceed A; overflow drops)
+    # Previous frame's post-solve inlier count (StepInfo.n_inliers): drives
+    # the adaptive initial-pose fallback (SlamConfig.pose_prediction
+    # "adaptive" switches to essential-matrix prediction while this is low).
+    last_inliers: jnp.ndarray  # i32
 
     @staticmethod
     def create(F: int, P: int, O: int, K: int, D: int, A: int = 512) -> "SlamState":
@@ -204,6 +208,7 @@ class SlamState(NamedTuple):
             arch_t=jnp.zeros((A, 3)),
             arch_frame_index=jnp.full((A,), -1, jnp.int32),
             arch_count=jnp.int32(0),
+            last_inliers=jnp.int32(0),
         )
 
 

@@ -155,3 +155,63 @@ def test_pallas_keypoint_tiling_matches_xla(rng):
     np.testing.assert_array_equal(
         np.asarray(m_xla.point_idx)[v], np.asarray(m_pal.point_idx)[v]
     )
+
+
+def test_banded_backend_matches_xla(rng):
+    """The grid-hash (banded) backend must agree with the XLA path exactly:
+    sorted-order banding + pixel gate is a pure superset pruning."""
+    import jax.numpy as jnp
+
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(
+        rng, P=300, K=1100, D=32, O=3
+    )
+    P, K = X.shape[0], kp_uv.shape[0]
+    m_xla = _match(cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid)
+    m_band = match_map_to_frame(
+        cam, jnp.asarray(pose), jnp.asarray(X), jnp.ones(P, bool),
+        jnp.asarray(obs_desc), jnp.asarray(obs_valid),
+        jnp.asarray(kp_uv), jnp.asarray(kp_desc), jnp.ones(K, bool),
+        jnp.zeros(K, bool), jnp.zeros(P, bool),
+        max_distance=0.8, chunk=32, backend="banded",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.valid), np.asarray(m_band.valid)
+    )
+    v = np.asarray(m_xla.valid)
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.point_idx)[v], np.asarray(m_band.point_idx)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_xla.distance)[v], np.asarray(m_band.distance)[v],
+        atol=1e-4,
+    )
+
+
+def test_banded_backend_partial_gate(rng):
+    """Banding with a sparse gated subset (the observed-by-last-keyframe
+    filter shape, src/Slam.cpp:138-150) and pre-matched keypoints/points."""
+    import jax.numpy as jnp
+
+    cam, pose, X, kp_uv, kp_desc, obs_desc, obs_valid = _setup(
+        rng, P=300, K=1100, D=32, O=3
+    )
+    P, K = X.shape[0], kp_uv.shape[0]
+    point_mask = rng.random(P) < 0.3
+    kp_m = rng.random(K) < 0.2
+    pt_m = rng.random(P) < 0.1
+    common = dict(max_distance=0.8, chunk=32)
+    args = (
+        cam, jnp.asarray(pose), jnp.asarray(X), jnp.asarray(point_mask),
+        jnp.asarray(obs_desc), jnp.asarray(obs_valid),
+        jnp.asarray(kp_uv), jnp.asarray(kp_desc), jnp.ones(K, bool),
+        jnp.asarray(kp_m), jnp.asarray(pt_m),
+    )
+    m_xla = match_map_to_frame(*args, backend="xla", **common)
+    m_band = match_map_to_frame(*args, backend="banded", **common)
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.valid), np.asarray(m_band.valid)
+    )
+    v = np.asarray(m_xla.valid)
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.point_idx)[v], np.asarray(m_band.point_idx)[v]
+    )
