@@ -329,13 +329,13 @@ def main():
                     choices=("classical", "lightglue", "learned"))
     ap.add_argument("--masked", action="store_true")
     ap.add_argument("--radius", type=float, default=28.0)
-    ap.add_argument("--prediction", default="adaptive",
+    ap.add_argument("--prediction", default="constant_velocity",
                     choices=("constant_position", "constant_velocity",
                              "adaptive"),
                     help="initial-pose model; 'adaptive' falls back to "
                          "essential-matrix prediction in starved stretches "
                          "(lax.cond: free when healthy)")
-    ap.add_argument("--min-commit-inliers", type=int, default=40,
+    ap.add_argument("--min-commit-inliers", type=int, default=0,
                     help="absolute keyframe-commit floor (0 = reference's "
                          "purely relative 0.9 rule, which zombie-locks on "
                          "long starved stretches; see SlamConfig)")
@@ -349,9 +349,12 @@ def main():
                     help="override refine_every_frames (default: 48 — the "
                          "cadence the round-3 headline actually ran at; "
                          "run_batched now honors the knob at any batch size)")
-    ap.add_argument("--local-ba-window", type=int, default=1,
+    ap.add_argument("--local-ba-window", type=int, default=4,
                     help="keyframes freed by the commit-time local BA "
-                         "(1 = reference shape: newest only)")
+                         "(1 = reference shape: newest only; the default 4 "
+                         "re-solves recent drift while it is cheap — "
+                         "measured worst-seed full-trajectory ATE 2.3% vs "
+                         "3.3% at W=1 on the 304-frame benchmark)")
     ap.add_argument("--map-capacity", type=int, default=4096,
                     help="map point capacity P (scale bench: 16384)")
     ap.add_argument("--max-keyframes", type=int, default=32,

@@ -58,6 +58,20 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(reference deep path, DeepFeatureExtractor.cpp:8)")
     p.add_argument("--lightglue-weights", type=Path, default=None,
                    help="lightglue .npz (default: packaged weights)")
+    p.add_argument("--prediction", default="constant_position",
+                   choices=("constant_position", "constant_velocity",
+                            "adaptive"),
+                   help="initial-pose model (src/Slam.cpp:124-136); "
+                        "'adaptive' switches to essential-matrix prediction "
+                        "with a constant-speed scale prior while tracking "
+                        "is starved (free when healthy: lax.cond)")
+    p.add_argument("--min-commit-inliers", type=int, default=0,
+                   help="absolute keyframe-commit floor (0 = the "
+                        "reference's purely relative 0.9 rule)")
+    p.add_argument("--match-backend", default="auto",
+                   choices=("auto", "pallas", "banded", "xla"),
+                   help="guided-matcher backend; 'banded' = grid-hash "
+                        "spatial banding for large map capacities")
     p.add_argument("--local-ba-window", type=int, default=1,
                    help="keyframes freed by the commit-time local BA: 1 = "
                         "the reference's newest-only shape "
@@ -108,6 +122,9 @@ def main(argv=None) -> int:
         refine_every_frames=args.refine_every,
         reproj_monitor_every=args.monitor_every,
         local_ba_window=args.local_ba_window,
+        pose_prediction=args.prediction,
+        min_commit_inliers=args.min_commit_inliers,
+        matching_backend=args.match_backend,
     )
 
     gt_poses = None
@@ -230,18 +247,22 @@ def main(argv=None) -> int:
     if gt_poses is not None and int(slam.state.num_kf) >= 2:
         from .utils.metrics import ate_rmse
 
-        kf_idx = slam.keyframe_indices()
-        ate = ate_rmse(slam.poses(), gt_poses[kf_idx])
+        kf_idx = slam.keyframe_indices(include_archived=True)
+        ate = ate_rmse(slam.poses(include_archived=True), gt_poses[kf_idx])
         print(f"ATE vs ground truth: {ate:.4f}")
 
     if out:
-        poses = slam.poses()
+        # Full trajectory: archived (evicted) keyframes + the live window,
+        # matching the reference's keep-everything semantics (src/Slam.h:42-47).
+        poses = slam.poses(include_archived=True)
         pts = slam.points()
         colors = np.asarray(slam.state.map.color)[np.asarray(slam.state.map.valid)]
         viz.save_trajectory_plot(out / "trajectory.png", poses, pts, colors)
         viz.export_ply(out / "map.ply", pts, colors, poses)
-        viz.save_trajectory_tum(out / "trajectory.tum", poses,
-                                stamps=slam.keyframe_indices().astype(float))
+        viz.save_trajectory_tum(
+            out / "trajectory.tum", poses,
+            stamps=slam.keyframe_indices(include_archived=True).astype(float),
+        )
         save_state(out / "state.npz", slam.state)
         print(f"artifacts written to {out}/")
     return 0

@@ -78,10 +78,18 @@ class SpriteWorld:
         textures = [random_texture(tex_size, tex_size, rng) for _ in range(n_sprites)]
         return SpriteWorld(centers=centers, half_sizes=half_sizes, textures=textures)
 
-    def render(self, cam: Camera, pose: np.ndarray, background: float = 0.08) -> np.ndarray:
+    def render(self, cam: Camera, pose: np.ndarray, background: float = 0.08,
+               near_clip: float = 0.1) -> np.ndarray:
         """Render the world under a world->camera pose. Exact plane-homography
         sampling: each drawn pixel's intensity comes from a known 3D point.
-        Returns [H, W] float32 in [0, 1]."""
+        Returns [H, W] float32 in [0, 1].
+
+        near_clip: sprites with any corner closer than this are not drawn.
+        Long dolly sequences raise it (~3.0): a sprite passing the camera at
+        depth < ~3 is magnified into a screen-filling defocus-like blur that
+        blanks feature detection for several frames — an artifact real
+        footage does not have (lenses defocus/occlusion-cull at near range).
+        """
         H, W = cam.height, cam.width
         img = np.full((H, W), background, np.float32)
         R = pose[:3, :3]
@@ -104,7 +112,7 @@ class SpriteWorld:
                 [[-hs, -hs, 0], [hs, -hs, 0], [hs, hs, 0], [-hs, hs, 0]], np.float32
             )
             pc = (R @ corners.T).T + t
-            if np.any(pc[:, 2] <= 0.1):
+            if np.any(pc[:, 2] <= near_clip):
                 continue
             uv = pc[:, :2] * np.array([cam.fx, cam.fy]) / pc[:, 2:3] + np.array(
                 [cam.cx, cam.cy]
@@ -169,26 +177,55 @@ def make_sequence(
     if step_t is None:
         step_t = np.array([0.12, 0.01, 0.22], np.float32)  # lateral + forward
 
-    # For trajectories with real forward motion, populate a CORRIDOR of
-    # sprites along the whole path (constant density, lateral centers
-    # following the dolly) instead of a fixed-depth band — otherwise the
-    # camera drives out of the populated region and the scene empties,
-    # which starves feature tracking for reasons unrelated to the engine.
+    # For trajectories with real forward motion, populate sprites along the
+    # path at constant IN-VIEW density: each sprite sits mid-view (depth
+    # ~U[5,14], the same band SpriteWorld.generate uses) of the camera's
+    # TRUE pose — including accumulated yaw — at a uniformly drawn anchor
+    # frame i*. The earlier straight-corridor placement ignored yaw: by
+    # frame ~300 at 0.002 rad/frame the camera had rotated ~34 degrees off
+    # the corridor and the scene emptied, starving tracking (and even the
+    # two-view bootstrap) for reasons unrelated to the engine.
     step_z = float(step_t[2])
     total_forward = step_z * max(n_frames - 1, 0)
     if total_forward > 1.0:
-        depth_lo, depth_hi = 5.0, 14.0 + total_forward
-        n_eff = max(n_sprites, int(n_sprites * (depth_hi - depth_lo) / 9.0))
-        depths = rng.uniform(depth_lo, depth_hi, n_eff)
-        # Frame at which each sprite sits mid-view; shift it onto the path.
-        i_star = np.clip((depths - 9.5) / step_z, 0, n_frames - 1)
+        # Anchor frames extend past both sequence ends: a sprite anchored at
+        # i* (mid-view depth ~9.5) is visible from ~(25-9.5)/step_z frames
+        # BEFORE i* until ~(9.5-2)/step_z after, so without the overhang the
+        # first/last stretches see a fraction of the density.
+        lo = -(9.5 - 2.0) / step_z
+        hi = (n_frames - 1) + (25.0 - 9.5) / step_z
+        n_eff = max(n_sprites, int(n_sprites * step_z * (hi - lo) / 9.0))
+        i_star = rng.uniform(lo, hi, n_eff)
+        d = rng.uniform(5.0, 14.0, n_eff)
         lat = 6.0 * 0.6 * (9.5 / 5.0)
-        cx = rng.uniform(-lat, lat, n_eff) + float(step_t[0]) * i_star
-        cy = rng.uniform(-lat * 0.7, lat * 0.7, n_eff) + float(step_t[1]) * i_star
+        u = rng.uniform(-lat, lat, n_eff)
+        v = rng.uniform(-lat * 0.7, lat * 0.7, n_eff)
+        # Clearance corridor: a sprite whose view-space offset is near zero
+        # sits ON the camera path — as the dolly reaches it, it fills (and
+        # passes through) the view, blanking the frame for several frames
+        # (measured: 60-frame tracking dropouts). Real cameras do not drive
+        # through obstacles; push such sprites out to stream past the lens
+        # like roadside objects. Distant sprites still cover the image
+        # center (angle ~ u/depth), so central texture is unaffected.
+        inside = (np.abs(u) < 1.2) & (np.abs(v) < 0.8)
+        u = np.where(inside, np.sign(u + 1e-9) * (1.2 + np.abs(u)), u)
+        yaw = yaw_per_frame * i_star
+        cw = np.asarray(step_t)[None, :] * i_star[:, None]
+        # center = cam_center(i*) + Ry(yaw(i*)) @ [u, v, d]
+        sin, cos = np.sin(yaw), np.cos(yaw)
+        cx = cw[:, 0] + cos * u + sin * d
+        cy = cw[:, 1] + v
+        cz = cw[:, 2] - sin * u + cos * d
+        # 128 px textures (finest noise octave 32x32): a 48 px texture
+        # magnified onto a CLOSE sprite (depth ~2-3 covers 200-300 px on
+        # screen) becomes a featureless blur — measured to crash the corner
+        # detector to ~90 valid keypoints on frames dominated by close
+        # sprites, starving tracking for content reasons no real video has
+        # (real footage keeps detail at every scale).
         world = SpriteWorld(
-            centers=np.stack([cx, cy, depths], axis=-1).astype(np.float32),
+            centers=np.stack([cx, cy, cz], axis=-1).astype(np.float32),
             half_sizes=rng.uniform(0.25, 0.6, n_eff).astype(np.float32),
-            textures=[random_texture(48, 48, rng) for _ in range(n_eff)],
+            textures=[random_texture(128, 128, rng) for _ in range(n_eff)],
         )
     else:
         world = SpriteWorld.generate(rng, n_sprites=n_sprites)
@@ -201,7 +238,9 @@ def make_sequence(
         T[:3, :3] = Rw.T
         T[:3, 3] = -Rw.T @ cw
         poses.append(T)
-        frames.append(world.render(cam, T))
+        frames.append(
+            world.render(cam, T, near_clip=3.0 if total_forward > 1.0 else 0.1)
+        )
     return SyntheticSequence(
         frames=frames, poses=np.stack(poses), cam=cam, world=world
     )

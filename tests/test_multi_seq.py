@@ -101,11 +101,14 @@ def test_multi_seq_loss_recovery():
     # Loss detection reads the PREVIOUS batch's counts (lag-1, stall-free —
     # see MultiSlam.run_batched), so sequence 0 needs enough post-cut frames
     # to be detected one batch late and still re-bootstrap before EOF.
+    # Inlier-based loss detection (StepInfo.n_inliers) fires a batch or two
+    # earlier than the old raw-match rule, so the post-cut world needs
+    # enough frames for detection + the re-bootstrap to land before EOF.
     a = make_sequence(np.random.default_rng(5), n_frames=8, cam=cam,
                       n_sprites=140, step_t=step)
-    b = make_sequence(np.random.default_rng(99), n_frames=14, cam=cam,
+    b = make_sequence(np.random.default_rng(99), n_frames=20, cam=cam,
                       n_sprites=140, step_t=step)
-    c = make_sequence(np.random.default_rng(7), n_frames=22, cam=cam,
+    c = make_sequence(np.random.default_rng(7), n_frames=28, cam=cam,
                       n_sprites=140, step_t=step)
     cfg = SlamConfig(
         triangulate_points=True, bundle_adjust=True, optimize_pose=True,
