@@ -355,6 +355,10 @@ def main():
                          "re-solves recent drift while it is cheap — "
                          "measured worst-seed full-trajectory ATE 2.3% vs "
                          "3.3% at W=1 on the 304-frame benchmark)")
+    ap.add_argument("--window-every", type=int, default=1,
+                    help="run the windowed commit BA only on every Nth "
+                         "commit (hybrid with the fused single-camera "
+                         "solver; see SlamConfig.window_ba_every)")
     ap.add_argument("--map-capacity", type=int, default=4096,
                     help="map point capacity P (scale bench: 16384)")
     ap.add_argument("--max-keyframes", type=int, default=32,
@@ -405,6 +409,7 @@ def main():
                              if args.refine_every is not None else 48),
         refine_iters=10,
         local_ba_window=args.local_ba_window,
+        window_ba_every=args.window_every,
     )
 
     results = []

@@ -72,6 +72,18 @@ class SlamConfig:
     # it is still cheap instead of frozen into history. At least two
     # keyframes always stay frozen as gauge anchors.
     local_ba_window: int = 1
+    # With local_ba_window > 1, run the windowed solve only on every Nth
+    # keyframe commit (other commits use the fused single-camera Pallas
+    # solver, ~5 ms vs ~11 ms). The window re-solve is a drift corrector,
+    # not a tracking necessity — every 2nd commit retains the accuracy win
+    # at half the cost (measured on the 304-frame bench).
+    window_ba_every: int = 1
+    # Window-BA point budget. The W newest keyframes SHARE their tracked
+    # points, so the covering set is small (measured ~355 live points at
+    # W=4 on the bench world — less than one frame's K); 1024 leaves 3x
+    # headroom, and overflow keeps the most-observed points (ranked
+    # selection) with the post-solve cull as the safety net.
+    window_ba_budget: int = 1024
     # Huber scale: "reference" keeps Ceres' sqrt(5.991) on the normalized
     # residual (effectively quadratic); "pixel" rescales it by 1/fx so the
     # robust loss engages at the intended ~2.45 px. A/B on the synthetic

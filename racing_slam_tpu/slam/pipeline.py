@@ -181,21 +181,45 @@ def _commit_keyframe(
     if cfg.bundle_adjust:
         K = feat.xy.shape[0]
         P = m.valid.shape[0]
-        # The exact worst case is one point per keypoint per FREE keyframe,
-        # so the default budget scales with the local-BA window — a W=1
-        # budget under W>1 would silently leave free-keyframe points
-        # un-refit (advisor r3).
-        budget = cfg.ba_commit_budget or (
-            max(1, cfg.local_ba_window) * (-(-K // 128) * 128)
-        )
-        Pc = min(P, budget)
-        if cfg.local_ba_window > 1:
-            # Window free set: the W newest keyframes, keeping at least two
-            # frozen as gauge anchors. Computed BEFORE the point selection:
-            # the problem must include every point observed by ANY free
-            # keyframe — moving a pose while leaving its other points behind
-            # would make the map self-inconsistent (and the 3 px cull would
-            # then eat it).
+        huber = _huber(cfg, cam)
+
+        def solve_single(kfs, m):
+            """Reference shape: only the NEW keyframe free, points it
+            observes free (src/Slam.cpp:202-213); fused Pallas LM loop."""
+            Pc = min(P, cfg.ba_commit_budget or -(-K // 128) * 128)
+            sel, sel_ok = m.ba_point_selection(slot, Pc)
+            obs_kf = m.obs_kf[sel]
+            obs_kp = m.obs_kp[sel]
+            prob = BAProblem(
+                cam_rvec=kfs.rvec,
+                cam_t=kfs.t,
+                points=m.pos[sel],
+                obs_cam=obs_kf,
+                obs_uv=kfs.kp_xy[obs_kf, obs_kp],
+                obs_valid=m.obs_valid[sel] & sel_ok[:, None],
+                cam_free=jnp.arange(F) == slot,
+                cam_in_problem=kfs.valid,
+                point_free=sel_ok,
+                point_in_problem=sel_ok,
+            )
+            res = structure_ba(
+                cam, prob, slot, max_iters=cfg.ba_iters,
+                huber_delta=huber, backend=cfg.ba_backend,
+            )
+            pos = m.pos.at[jnp.where(sel_ok, sel, P)].set(
+                res.points, mode="drop"
+            )
+            return res.cam_rvec, res.cam_t, pos
+
+        def solve_window(kfs, m):
+            """Windowed local BA: the W newest keyframes free (two stay
+            frozen as gauge anchors), over the points they observe — the
+            drift the reference locks into frozen history gets re-solved
+            while it is still cheap. The covering point set is SMALL (the
+            window shares its tracked points; measured ~355 live at W=4),
+            so the budget is window_ba_budget, not W x K."""
+            from ..ops.ba import window_ba
+
             Wn = cfg.local_ba_window
             newest_first = jnp.argsort(
                 jnp.where(kfs.valid, -kfs.frame_index, jnp.int32(1 << 30))
@@ -204,45 +228,52 @@ def _commit_keyframe(
             free_slots = jnp.where(
                 jnp.arange(Wn) < n_free, newest_first[:Wn], -1
             ).astype(jnp.int32)
+            Pc = min(P, cfg.window_ba_budget)
             sel, sel_ok = m.ba_point_selection_mask(
                 m.observed_by_any(free_slots) & m.valid, Pc
             )
-        else:
-            sel, sel_ok = m.ba_point_selection(slot, Pc)
-        obs_kf = m.obs_kf[sel]
-        obs_kp = m.obs_kp[sel]
-        prob = BAProblem(
-            cam_rvec=kfs.rvec,
-            cam_t=kfs.t,
-            points=m.pos[sel],
-            obs_cam=obs_kf,
-            obs_uv=kfs.kp_xy[obs_kf, obs_kp],
-            obs_valid=m.obs_valid[sel] & sel_ok[:, None],
-            cam_free=jnp.arange(F) == slot,
-            cam_in_problem=kfs.valid,
-            point_free=sel_ok,
-            point_in_problem=sel_ok,
-        )
-        if cfg.local_ba_window > 1:
-            # Windowed local BA: the W newest keyframes free (at least two
-            # keyframes stay frozen as gauge anchors); free_slots and the
-            # covering point selection were computed above.
-            from ..ops.ba import window_ba
-
+            obs_kf = m.obs_kf[sel]
+            obs_kp = m.obs_kp[sel]
+            prob = BAProblem(
+                cam_rvec=kfs.rvec,
+                cam_t=kfs.t,
+                points=m.pos[sel],
+                obs_cam=obs_kf,
+                obs_uv=kfs.kp_xy[obs_kf, obs_kp],
+                obs_valid=m.obs_valid[sel] & sel_ok[:, None],
+                cam_free=jnp.arange(F) == slot,
+                cam_in_problem=kfs.valid,
+                point_free=sel_ok,
+                point_in_problem=sel_ok,
+            )
             res = window_ba(
                 cam, prob, free_slots, max_iters=cfg.ba_iters,
-                huber_delta=_huber(cfg, cam),
+                huber_delta=huber,
             )
+            pos = m.pos.at[jnp.where(sel_ok, sel, P)].set(
+                res.points, mode="drop"
+            )
+            return res.cam_rvec, res.cam_t, pos
+
+        if cfg.local_ba_window <= 1:
+            new_rvec, new_t, new_pos = solve_single(kfs, m)
+        elif cfg.window_ba_every <= 1:
+            new_rvec, new_t, new_pos = solve_window(kfs, m)
         else:
-            res = structure_ba(
-                cam, prob, slot, max_iters=cfg.ba_iters,
-                huber_delta=_huber(cfg, cam), backend=cfg.ba_backend,
+            # Hybrid cadence: the windowed drift-corrector every Nth commit,
+            # the ~2x-cheaper fused single-camera solver otherwise. Both
+            # branches compile; only the taken one executes (lax.cond).
+            commit_no = state.arch_count + state.num_kf  # total commits
+            new_rvec, new_t, new_pos = jax.lax.cond(
+                commit_no % cfg.window_ba_every == 0,
+                lambda args: solve_window(*args),
+                lambda args: solve_single(*args),
+                (kfs, m),
             )
-        kfs = kfs._replace(rvec=res.cam_rvec, t=res.cam_t)
-        tgt = jnp.where(sel_ok, sel, P)
-        m = m._replace(pos=m.pos.at[tgt].set(res.points, mode="drop"))
-        rvec = res.cam_rvec[slot]
-        t = res.cam_t[slot]
+        kfs = kfs._replace(rvec=new_rvec, t=new_t)
+        m = m._replace(pos=new_pos)
+        rvec = new_rvec[slot]
+        t = new_t[slot]
 
     # Cull points with mean reprojection error > 3 px (src/Slam.cpp:221-243).
     if cfg.cull_points:
