@@ -355,6 +355,13 @@ def main():
                          "re-solves recent drift while it is cheap — "
                          "measured worst-seed full-trajectory ATE 2.3% vs "
                          "3.3% at W=1 on the 304-frame benchmark)")
+    ap.add_argument("--kf-ratio", type=float, default=0.8,
+                    help="keyframe decision ratio (reference hard-codes 0.9, "
+                         "src/Slam.cpp:114 — tuned for ITS matcher; with the "
+                         "wider dense-gate matcher + CV prediction matches "
+                         "persist longer, and 0.9 commits every ~1.9 frames. "
+                         "0.8 halves the commit rate AND improves ATE: "
+                         "fewer short-baseline keyframes)")
     ap.add_argument("--window-every", type=int, default=1,
                     help="run the windowed commit BA only on every Nth "
                          "commit (hybrid with the fused single-camera "
@@ -410,6 +417,7 @@ def main():
         refine_iters=10,
         local_ba_window=args.local_ba_window,
         window_ba_every=args.window_every,
+        keyframe_match_ratio=args.kf_ratio,
     )
 
     results = []

@@ -983,6 +983,11 @@ class Slam:
         self._frame_idx = 0
         self._prefetched = None
         self._host_rng = np.random.default_rng(self._seed ^ 0xA5A5_5A5A)
+        # Reset the device PRNG chain too: the bootstrap draws RANSAC keys
+        # from it, so an un-reset chain makes every benchmark replay a
+        # DIFFERENT program (measured: marginal seeds bootstrap differently
+        # on later replays and spiral into re-init churn).
+        self._key = jax.random.PRNGKey(self._seed)
         self._frames_since_refine = 0
         self._lost_streak = 0
         self._frames_since_check = 0
