@@ -942,6 +942,11 @@ class Slam:
     def _decode_next(self):
         """Pull one frame from the source and start its async device upload
         as uint8 (the host->device link is the per-frame bottleneck)."""
+        pb = getattr(self, "_pushback", None)
+        if pb:
+            img = pb.pop(0)
+            self._frame_idx += 1
+            return jax.device_put(img)
         try:
             img = next(self.video)
         except StopIteration:
@@ -983,6 +988,7 @@ class Slam:
         self._frame_idx = 0
         self._prefetched = None
         self._host_rng = np.random.default_rng(self._seed ^ 0xA5A5_5A5A)
+        self._pushback = []
         # Reset the device PRNG chain too: the bootstrap draws RANSAC keys
         # from it, so an un-reset chain makes every benchmark replay a
         # DIFFERENT program (measured: marginal seeds bootstrap differently
@@ -1120,6 +1126,12 @@ class Slam:
     # -- batched stepping (remote-chip dispatch amortization) ----------------
     def _decode_batch(self, n: int) -> list[np.ndarray]:
         frames = []
+        # Drain pushed-back frames first (a prefetched batch returned by a
+        # loss-recovery or an early exit; see run_batched).
+        pb = getattr(self, "_pushback", None)
+        while pb and len(frames) < n:
+            frames.append(pb.pop(0))
+            self._frame_idx += 1
         while len(frames) < n:
             try:
                 img = next(self.video)
@@ -1136,79 +1148,129 @@ class Slam:
         """Process the stream in N-frame device dispatches (slam_step_batch).
 
         Each dispatch costs one host->device round trip regardless of N, so
-        this is the high-throughput driver; per-frame StepInfos accumulate as
-        stacked device arrays in self.batch_infos (read them after the run —
-        mid-run readback would stall the async pipeline). Tracking-loss
-        recovery samples the previous batch's match counts every
-        `lost_check_interval` batches (detection lags by design; see
-        SlamConfig). Returns the number of frames processed.
+        this is the high-throughput driver. Host work is PIPELINED: a
+        single worker thread decodes, stacks, and uploads batch i+1 (one
+        combined device_put — images + host-drawn PRNG keys + active mask)
+        while the device computes batch i, hiding the ~30-50 ms/batch of
+        host+transfer time that otherwise serializes with compute over the
+        remote-chip link. Dispatches never cross a refine boundary, so
+        `refine_every_frames` is honest at any batch size (short sub-batches
+        are padded with inactive slots and reuse the same program).
+
+        Per-frame StepInfos accumulate as stacked device arrays in
+        self.batch_infos (read them after the run). Loss detection checks
+        every batch, reading the PREVIOUS batch's inlier counts (already
+        computed — no stall); on recovery, any prefetched frames are pushed
+        back so the re-bootstrap continues the stream in order. Returns the
+        number of frames processed.
         """
         assert self._prefetched is None, "do not mix step() and run_batched()"
+        from concurrent.futures import ThreadPoolExecutor
+
         self.batch_infos: list[StepInfo] = []
+        if not hasattr(self, "_pushback"):
+            self._pushback: list[np.ndarray] = []
         total = 0
         prev_infos: StepInfo | None = None
         prev_n = 0
-        while max_frames is None or total < max_frames:
-            want = batch if max_frames is None else min(batch, max_frames - total)
-            # Honest refinement cadence: never dispatch PAST a refine
-            # boundary, so `refine_every_frames` means frames at any batch
-            # size (round-3 audit: a 48-frame batch silently turned
-            # refine-16 into refine-48). A short sub-batch is padded with
-            # inactive slots and reuses the same compiled program; the cond'd
-            # no-op slots cost nothing on device, only the extra dispatch.
+
+        def calc_want(total_sim: int, since_sim: int) -> int:
+            want = (
+                batch if max_frames is None
+                else min(batch, max_frames - total_sim)
+            )
             if self._refine_one is not None:
-                until = self.cfg.refine_every_frames - self._frames_since_refine
-                want = min(want, max(1, until))
+                want = min(
+                    want,
+                    max(1, self.cfg.refine_every_frames - since_sim),
+                )
+            return want
+
+        def prep(want: int):
             frames = self._decode_batch(want)
             if not frames:
-                break
+                return None
             n = len(frames)
-            if n < batch:
-                frames = frames + [frames[-1]] * (batch - n)
-            # ONE combined host->device transfer per batch: images + host-
-            # drawn PRNG keys + the active mask ride together. Separate
-            # device_put / jax.random.split / asarray calls each cost a
-            # 10-30 ms tunnel round trip — at batch=48 that was ~40% of
-            # wall-clock step time on the remote chip.
-            imgs, keys, active = jax.device_put((
-                np.stack(frames),
+            padded = (
+                frames + [frames[-1]] * (batch - n) if n < batch else frames
+            )
+            dev = jax.device_put((
+                np.stack(padded),
                 self._host_rng.integers(
                     0, 1 << 32, size=(batch, 2), dtype=np.uint32
                 ),
                 np.arange(batch) < n,
             ))
-            self.state, infos = self._step_batch(
-                self.state, imgs, keys, active, self._mask
-            )
-            self.batch_infos.append(infos)
-            total += n
-            self._maybe_refine(n)
-            if not self.cfg.reinit_on_lost:
-                continue
-            # Check EVERY batch (unlike the per-frame driver's sampled
-            # checks): the previous batch's infos are already computed when
-            # the current batch is dispatched, so the readback is one cheap
-            # transfer per batch, and a lost sequence is caught within ~2
-            # batches instead of interval x batches later.
-            if prev_infos is not None and not self._check_batch(
-                prev_infos, prev_n
-            ):
-                prev_infos, prev_n = None, 0
-                continue
-            # If the previous batch already showed starvation, also check
-            # the CURRENT batch immediately (blocking readback). In healthy
-            # runs this never triggers, preserving upload/compute overlap;
-            # in degraded stretches it halves the zombie window before the
-            # re-bootstrap.
-            if (
-                prev_infos is not None
-                and (np.asarray(prev_infos.n_inliers)[:prev_n]
-                     < self.cfg.min_track_matches).any()
-                and not self._check_batch(infos, n)
-            ):
-                prev_infos, prev_n = None, 0
-                continue
-            prev_infos, prev_n = infos, n
+            return dev, n, frames
+
+        def push_back(fut):
+            """Return an un-processed prefetched batch to the stream."""
+            if fut is None:
+                return
+            res = fut.result()
+            if res is not None:
+                self._pushback = res[2] + self._pushback
+                self._frame_idx -= len(res[2])
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(prep, calc_want(total, self._frames_since_refine))
+        try:
+            while max_frames is None or total < max_frames:
+                res = fut.result()
+                fut = None
+                if res is None:
+                    break
+                (imgs, keys, active), n, _raw = res
+                # Predict the NEXT batch's shape (refine cadence and frame
+                # budget are deterministic) and start preparing it before
+                # dispatching this one, so upload overlaps compute.
+                total_sim = total + n
+                since_sim = self._frames_since_refine + n
+                if (
+                    self._refine_one is not None
+                    and since_sim >= self.cfg.refine_every_frames
+                ):
+                    since_sim = 0
+                if max_frames is None or total_sim < max_frames:
+                    fut = ex.submit(prep, calc_want(total_sim, since_sim))
+                self.state, infos = self._step_batch(
+                    self.state, imgs, keys, active, self._mask
+                )
+                self.batch_infos.append(infos)
+                total += n
+                self._maybe_refine(n)
+                if not self.cfg.reinit_on_lost:
+                    continue
+                # Check EVERY batch, reading the PREVIOUS batch's counts
+                # (already computed — no stall). If the previous batch
+                # showed starvation, also check the CURRENT batch now
+                # (blocking; rare) to halve the zombie window.
+                lost = prev_infos is not None and self._batch_lost(
+                    prev_infos, prev_n
+                )
+                if not lost and prev_infos is not None and (
+                    np.asarray(prev_infos.n_inliers)[:prev_n]
+                    < self.cfg.min_track_matches
+                ).any():
+                    lost = self._batch_lost(infos, n)
+                if lost:
+                    # The prefetched batch precedes the re-bootstrap's
+                    # frames: hand it back so initialize() consumes the
+                    # stream in order.
+                    push_back(fut)
+                    fut = None
+                    self._recover_lost()
+                    prev_infos, prev_n = None, 0
+                    fut = ex.submit(
+                        prep, calc_want(total, self._frames_since_refine)
+                    )
+                    continue
+                prev_infos, prev_n = infos, n
+        finally:
+            # An early exit (max_frames, EOF mid-prep) may leave decoded
+            # frames in flight; hand them back to the stream.
+            push_back(fut)
+            ex.shutdown()
         # Close the run with a final refinement if frames accumulated since
         # the last one: callers read the state right after run_batched, and
         # a window refined N frames ago is measurably worse than one refined
@@ -1220,16 +1282,31 @@ class Slam:
         return total
 
     def _check_batch(self, infos: StepInfo, n: int) -> bool:
-        """Loss detection over a completed batch's stacked infos. Returns
-        False when tracking was declared lost and a re-bootstrap ran."""
+        """Loss detection + recovery in one call (per-frame driver parity).
+        Returns False when tracking was declared lost and a re-bootstrap
+        ran."""
+        if not self._batch_lost(infos, n):
+            return True
+        self._recover_lost()
+        return False
+
+    def _batch_lost(self, infos: StepInfo, n: int) -> bool:
+        """PURE detection over a completed batch's stacked infos (updates
+        only the streak counter) — recovery is separate so run_batched can
+        hand prefetched frames back to the stream first. True = lost."""
         counts = np.asarray(infos.n_inliers)[:n]
         lost_run = self._lost_streak  # streak persists across batches
         for c in counts:
             lost_run = lost_run + 1 if c < self.cfg.min_track_matches else 0
         if lost_run < self.cfg.lost_patience:
             self._lost_streak = lost_run
-            return True
+            return False
         self._lost_streak = 0
+        return True
+
+    def _recover_lost(self) -> None:
+        """Archive the finished trajectory segment and re-bootstrap from the
+        current stream position."""
         self.segments.append(
             dict(
                 poses=self.poses(include_archived=True),
@@ -1241,7 +1318,6 @@ class Slam:
         self.n_reinits += 1
         self.initialize()
         self._prefetched = None
-        return False
 
     # -- accessors (reference: Slam::map/poses/reprojection_error) ----------
     def _kf_slots(self) -> np.ndarray:
