@@ -203,14 +203,16 @@ def assignment_scores(
     scores combine double-softmax similarity with matchability sigmoids
     (LightGlue eq. 8-style partial assignment).
 
-    attn_backend: "auto" = fused flash kernel on TPU, XLA einsum elsewhere
-    (interpret-mode Pallas is too slow for CPU; training keeps "xla" for
-    plain autodiff).
+    attn_backend: "pallas" = the fused flash kernel
+    (ops/pallas/attention_kernel.py; interpret-mode parity-tested), "xla" =
+    einsum attention. "auto" currently resolves to "xla" everywhere: the
+    axon tunnel's remote Mosaic build crashes compiling the flash kernel
+    (first with a spurious [H,K,K]-sized scoped-vmem stack allocation,
+    then with compile-helper exit 1 on the 2-D-block layout) — opt in with
+    "pallas" on toolchains whose Mosaic accepts it.
     """
     if attn_backend == "auto":
-        attn_backend = (
-            "pallas" if jax.default_backend() == "tpu" else "xla"
-        )
+        attn_backend = "xla"
     w, h = image_size
     n0 = (xy0 - jnp.array([w / 2, h / 2])) / max(w, h)
     n1 = (xy1 - jnp.array([w / 2, h / 2])) / max(w, h)

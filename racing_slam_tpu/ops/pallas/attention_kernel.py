@@ -29,11 +29,11 @@ _NEG = -1e9
 
 
 def _kernel(
-    q_ref,  # [1, TQ, dh]
-    k_ref,  # [1, TK, dh]
-    v_ref,  # [1, TK, dh]
-    mk_ref,  # [TK, 1] f32 0/1 key validity
-    o_ref,  # [1, TQ, dh] out
+    q_ref,  # [TQ, dh] (head-major row layout: rows h*Kq+q)
+    k_ref,  # [TK, dh]
+    v_ref,  # [TK, dh]
+    mk_ref,  # [TK, 1] f32 key validity (1/0/-1)
+    o_ref,  # [TQ, dh] out
     m_ref,  # [TQ, 1] f32 scratch: running max
     l_ref,  # [TQ, 1] f32 scratch: running denominator
     acc_ref,  # [TQ, dh] f32 scratch: running numerator
@@ -49,8 +49,8 @@ def _kernel(
         l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    q = q_ref[0]  # [TQ, dh] bf16
-    k = k_ref[0]  # [TK, dh] bf16
+    q = q_ref[:]  # [TQ, dh] bf16
+    k = k_ref[:]  # [TK, dh] bf16
     s = jax.lax.dot_general(
         q,
         k,
@@ -72,7 +72,7 @@ def _kernel(
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(jnp.bfloat16),
-        v_ref[0],
+        v_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
@@ -81,7 +81,7 @@ def _kernel(
 
     @pl.when(j == n_k - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("tile_q", "tile_k", "interpret"))
@@ -115,9 +115,21 @@ def flash_mha(
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
         )
 
-    qh = padt(q, nq * tile_q).astype(jnp.bfloat16).transpose(1, 0, 2)
-    kh = padt(k, nk * tile_k).astype(jnp.bfloat16).transpose(1, 0, 2)
-    vh = padt(v, nk * tile_k).astype(jnp.bfloat16).transpose(1, 0, 2)
+    # Head-major ROW layout ([H*K, dh], pure 2-D blocks): leading-dim
+    # (1, ., .) blocks tripped the remote Mosaic build into allocating the
+    # whole [H, K, K] iteration on the VMEM stack.
+    qh = (
+        padt(q, nq * tile_q).astype(jnp.bfloat16)
+        .transpose(1, 0, 2).reshape(H * nq * tile_q, dh)
+    )
+    kh = (
+        padt(k, nk * tile_k).astype(jnp.bfloat16)
+        .transpose(1, 0, 2).reshape(H * nk * tile_k, dh)
+    )
+    vh = (
+        padt(v, nk * tile_k).astype(jnp.bfloat16)
+        .transpose(1, 0, 2).reshape(H * nk * tile_k, dh)
+    )
     mk = padt(mask_k.astype(jnp.float32), nk * tile_k, fill=-1.0)[:, None]
 
     out = pl.pallas_call(
@@ -125,15 +137,15 @@ def flash_mha(
         grid=(H, nq, nk),
         in_specs=[
             pl.BlockSpec(
-                (1, tile_q, dh), lambda h, i, j: (h, i, 0),
+                (tile_q, dh), lambda h, i, j: (h * nq + i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_k, dh), lambda h, i, j: (h, j, 0),
+                (tile_k, dh), lambda h, i, j: (h * nk + j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_k, dh), lambda h, i, j: (h, j, 0),
+                (tile_k, dh), lambda h, i, j: (h * nk + j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -141,10 +153,10 @@ def flash_mha(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_q, dh), lambda h, i, j: (h, i, 0),
+            (tile_q, dh), lambda h, i, j: (h * nq + i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((H, nq * tile_q, dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H * nq * tile_q, dh), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile_q, 1), jnp.float32),
             pltpu.VMEM((tile_q, 1), jnp.float32),
@@ -157,4 +169,6 @@ def flash_mha(
             transcendentals=H * nq * tile_q * nk * tile_k,
         ),
     )(qh, kh, vh, mk)
-    return out.transpose(1, 0, 2)[:Kq]
+    return (
+        out.reshape(H, nq * tile_q, dh).transpose(1, 0, 2)[:Kq]
+    )
