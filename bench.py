@@ -262,13 +262,17 @@ def run_one(seed: int, cam, cfg, variant: str, n_frames: int, batch: int,
 
     acc = full_trajectory_ate(slam, seq)
     ate, length = acc["ate"], acc["length"]
+    # Capture run stats BEFORE device_replay_fps: it calls reset_run, which
+    # zeroes n_reinits (the round-4 JSON reported dead zeros because of
+    # exactly this ordering).
+    n_reinits = slam.n_reinits
     log(
         f"  measured: {n} frames -> best {fps:.2f} fps of "
         f"{['%.1f' % f for f in fps_reps]} (+{t_init:.2f}s bootstrap); "
         f"kf={acc['n_kf']} ({acc['n_archived']} archived, "
         f"spans {acc['kf_span']}, coverage {acc['coverage']:.2f}) "
         f"pts={int(slam.state.map.num_points())} "
-        f"reinits={slam.n_reinits} reproj={slam.reprojection_error():.2f}px | "
+        f"reinits={n_reinits} reproj={slam.reprojection_error():.2f}px | "
         f"full-traj ATE {ate:.4f} / len {length:.2f} "
         f"({100*ate/max(length,1e-9):.2f}%)"
     )
@@ -276,9 +280,10 @@ def run_one(seed: int, cam, cfg, variant: str, n_frames: int, batch: int,
     dev_fps = device_replay_fps(slam, seq, batch)
     log(f"  device-staged replay: {dev_fps:.2f} fps")
     return dict(seed=seed, fps=fps, fps_reps=fps_reps, device_fps=dev_fps,
+                fps_median_replay=float(np.median(fps_reps)),
                 ate=ate, length=length, slam=slam, n=n,
                 coverage=acc["coverage"],
-                n_reinits=slam.n_reinits, acc=acc)
+                n_reinits=n_reinits, acc=acc)
 
 
 def ba_throughput(slam, cfg, cam) -> float:
@@ -474,6 +479,11 @@ def main():
                 "replays": args.replays,
                 "seeds": seeds,
                 "fps_range": [round(fps_list[0], 1), round(fps_list[-1], 1)],
+                # Median replay per seed, then median over seeds: best-of-N
+                # is a maximum statistic under tunnel variance; this keeps
+                # the gap between best and typical replays falsifiable.
+                "fps_median_replay": round(float(np.median(
+                    [r["fps_median_replay"] for r in results])), 3),
                 "ate_pct_range": [round(ate_pct[0], 2), round(ate_pct[-1], 2)],
                 "coverage": round(cov_med, 3),
                 "coverage_range": [round(cov_list[0], 3), round(cov_list[-1], 3)],

@@ -259,6 +259,12 @@ def _banded_stage1(
     exact; when some tile's band does not fit (pathologically spread-out
     points), the whole call falls back to the dense kernel under lax.cond —
     never silently losing matches.
+
+    Tie-breaking: stage 1's argmin runs over the y-SORTED keypoint order, so
+    on exact descriptor-distance ties it may pick a different (equally
+    optimal) keypoint than the dense path's lowest-original-index winner.
+    Both results are correct 1-NN matches; backend parity is exact except on
+    duplicate-descriptor ties (vanishing-probability on float descriptors).
     """
     from .pallas.match_kernel import (
         guided_match_stage1,

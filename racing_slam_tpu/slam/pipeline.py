@@ -1248,11 +1248,13 @@ class Slam:
                 lost = prev_infos is not None and self._batch_lost(
                     prev_infos, prev_n
                 )
+                speculated = False
                 if not lost and prev_infos is not None and (
                     np.asarray(prev_infos.n_inliers)[:prev_n]
                     < self.cfg.min_track_matches
                 ).any():
                     lost = self._batch_lost(infos, n)
+                    speculated = True
                 if lost:
                     # The prefetched batch precedes the re-bootstrap's
                     # frames: hand it back so initialize() consumes the
@@ -1265,7 +1267,12 @@ class Slam:
                         prep, calc_want(total, self._frames_since_refine)
                     )
                     continue
-                prev_infos, prev_n = infos, n
+                # A speculative check already folded THIS batch into the
+                # persistent streak; re-processing it next iteration as
+                # prev_infos would double-count its low-inlier runs and can
+                # fire a spurious recovery below lost_patience. The streak
+                # alone carries the batch's trailing run forward.
+                prev_infos, prev_n = (None, 0) if speculated else (infos, n)
         finally:
             # An early exit (max_frames, EOF mid-prep) may leave decoded
             # frames in flight; hand them back to the stream.

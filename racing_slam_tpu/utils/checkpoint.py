@@ -48,27 +48,63 @@ def save_state(path: str | Path, state: SlamState) -> None:
     np.savez_compressed(path, **out)
 
 
-def load_state(path: str | Path) -> SlamState:
+# v1 (positional leaf_N) stored the pre-archive SlamState: the current
+# field order MINUS these appended-later fields. Their absence defines the
+# leaf_i -> dotted-name mapping the migration loader below relies on.
+_V1_ABSENT = (
+    "arch_rvec", "arch_t", "arch_frame_index", "arch_count", "last_inliers",
+)
+
+
+def _load_v1(data, jnp) -> dict:
+    """Map a v1 positional checkpoint's leaves onto current field names.
+    The v1 schema is a strict prefix of the current one (all later fields
+    were appended), so position i corresponds to the i-th current name
+    after dropping the appended fields."""
+    template = SlamState.create(F=1, P=1, O=1, K=1, D=1, A=1)
+    names = [n for n in _named_leaves(template) if n not in _V1_ABSENT]
+    n_leaves = len(data.files)
+    if n_leaves != len(names):
+        raise ValueError(
+            f"v1 checkpoint has {n_leaves} leaves; this release's v1 "
+            f"migration expects {len(names)} (pre-archive SlamState) — "
+            "the file was written by an unknown intermediate schema"
+        )
+    stored = {}
+    for i, name in enumerate(names):
+        if f"leaf_{i}" in data:
+            stored[name] = data[f"leaf_{i}"]
+        else:
+            stored[name] = jnp.asarray(data[f"leaf_{i}__bf16"], jnp.bfloat16)
+    return stored
+
+
+def load_state(
+    path: str | Path, archive_capacity: int | None = None
+) -> SlamState:
+    """Restore a SlamState. `archive_capacity` sizes the backfilled archive
+    when the file predates the archive fields (defaults to 512); pass the
+    engine's SlamConfig.archive_capacity so the loaded state matches the
+    compiled shapes."""
     import jax.numpy as jnp
 
     with np.load(path) as data:
         files = set(data.files)
         if "__format_version__" not in files:
-            raise ValueError(
-                f"{path} is a pre-v2 positional checkpoint (leaf_N layout), "
-                "which cannot be safely mapped onto the current SlamState "
-                "schema; re-save it with this release's save_state"
-            )
-        stored = {}
-        for f in files:
-            if f == "__format_version__":
-                continue
-            if f.endswith("__bf16"):
-                stored[f[: -len("__bf16")]] = jnp.asarray(
-                    data[f], jnp.bfloat16
-                )
-            else:
-                stored[f] = data[f]
+            # Pre-v2 positional checkpoint: best-effort migration (the v1
+            # leaf order is known — see _V1_ABSENT).
+            stored = _load_v1(data, jnp)
+        else:
+            stored = {}
+            for f in files:
+                if f == "__format_version__":
+                    continue
+                if f.endswith("__bf16"):
+                    stored[f[: -len("__bf16")]] = jnp.asarray(
+                        data[f], jnp.bfloat16
+                    )
+                else:
+                    stored[f] = data[f]
 
     # Template with the checkpoint's shapes; fields absent from the file
     # (added after it was written) keep their create() defaults.
@@ -77,7 +113,7 @@ def load_state(path: str | Path) -> SlamState:
     A = (
         stored["arch_frame_index"].shape[0]
         if "arch_frame_index" in stored
-        else 512
+        else (archive_capacity if archive_capacity is not None else 512)
     )
     template = SlamState.create(F=F, P=P, O=O, K=K, D=D, A=A)
     names = list(_named_leaves(template).keys())

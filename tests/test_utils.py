@@ -26,6 +26,43 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert int(restored.num_kf) == 2
 
 
+def test_checkpoint_v1_migration(tmp_path, rng):
+    """A v1 positional checkpoint (pre-archive schema, leaf_N layout) loads
+    via the migration path: shared fields restored exactly, appended fields
+    (archive, last_inliers) backfilled at the requested capacity."""
+    from racing_slam_tpu.utils.checkpoint import _V1_ABSENT, _named_leaves
+
+    state = SlamState.create(F=4, P=32, O=4, K=16, D=8)
+    state = state._replace(
+        num_kf=jnp.int32(3),
+        last_rvec=jnp.asarray([0.4, 0.5, 0.6]),
+        map=state.map._replace(
+            pos=jnp.asarray(rng.standard_normal((32, 3)).astype(np.float32)),
+        ),
+    )
+    # Write the file exactly as the v1 save_state did: positional leaves of
+    # the pre-archive field set, bf16 stored as f32 under a __bf16 suffix.
+    named = _named_leaves(state)
+    v1 = [(n, x) for n, x in named.items() if n not in _V1_ABSENT]
+    out = {}
+    for i, (_, x) in enumerate(v1):
+        a = np.asarray(x)
+        if a.dtype.name == "bfloat16":
+            out[f"leaf_{i}__bf16"] = a.astype(np.float32)
+        else:
+            out[f"leaf_{i}"] = a
+    p = tmp_path / "v1.npz"
+    np.savez_compressed(p, **out)
+
+    restored = load_state(p, archive_capacity=7)
+    rest_named = _named_leaves(restored)
+    for n, x in v1:
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(rest_named[n]))
+    assert restored.arch_frame_index.shape == (7,)
+    assert int(restored.arch_count) == 0
+    assert int(restored.num_kf) == 3
+
+
 def test_umeyama_recovers_similarity(rng):
     src = rng.standard_normal((50, 3))
     from scipy.spatial.transform import Rotation
