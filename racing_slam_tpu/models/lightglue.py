@@ -112,19 +112,70 @@ def _ln(x):
     return (x - mu) * jax.lax.rsqrt(var + 1e-6)
 
 
+def _flash_mha_xla(q, k, v, mask_k, tile: int = 512):
+    """Online-softmax (flash) attention in plain XLA: lax.scan over key
+    tiles carrying running (max, denominator, accumulator) — mathematically
+    identical to ops/pallas/attention_kernel.flash_mha, but compiles on ANY
+    toolchain (the tunnel's remote Mosaic rejects the Pallas kernel). No
+    [H, K, K] logits ever exist in HBM: each step materializes one
+    [Kq, H, tile] slab that XLA fuses into its matmul producers/consumers.
+
+    Masking parity with the dense path: invalid keys logit -1e9 (uniform
+    softmax if ALL keys are masked), tile-padding keys -2e9 (excluded even
+    from that degenerate case — the dense path never saw those rows)."""
+    Kq, H, dh = q.shape
+    Kk = k.shape[0]
+    scale = 1.0 / jnp.sqrt(dh).astype(jnp.float32)
+    nk = -(-Kk // tile)
+    pad = nk * tile - Kk
+    mk = mask_k.astype(jnp.float32)
+    if pad:
+        zf = jnp.zeros((pad, H, dh), k.dtype)
+        k = jnp.concatenate([k, zf], axis=0)
+        v = jnp.concatenate([v, zf], axis=0)
+        mk = jnp.concatenate([mk, jnp.full((pad,), -1.0, jnp.float32)])
+    kt = k.reshape(nk, tile, H, dh)
+    vt = v.reshape(nk, tile, H, dh)
+    mt = mk.reshape(nk, tile)
+
+    def body(carry, xs):
+        m, l, acc = carry
+        k_t, v_t, m_t = xs
+        s = jnp.einsum("qhd,chd->qhc", q, k_t) * scale
+        m_t = m_t[None, None, :]
+        s = jnp.where(m_t > 0.0, s, jnp.where(m_t < 0.0, -2e9, -1e9))
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("qhc,chd->qhd", p, v_t)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((Kq, H, 1), -3e9, jnp.float32)
+    l0 = jnp.zeros((Kq, H, 1), jnp.float32)
+    a0 = jnp.zeros((Kq, H, dh), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (kt, vt, mt))
+    return acc / l
+
+
 def _mha(q, k, v, mask_q, mask_k, backend: str = "xla"):
     """Multi-head attention: q [Kq, H, dh], k/v [Kk, H, dh].
 
-    backend "pallas" runs the fused flash kernel
-    (ops/pallas/attention_kernel.py): no [H, K, K] logits in HBM — the
-    dominant cost of the XLA path at matcher shapes (K=2400: ~92 MB per
-    attention site, 16 sites per call)."""
+    backends:
+      "xla_flash" (the "auto" default): _flash_mha_xla — online-softmax
+        scan, no [H, K, K] logits in HBM, compiles everywhere;
+      "pallas": the fused VMEM kernel (ops/pallas/attention_kernel.py) for
+        toolchains whose Mosaic accepts it;
+      "xla": the naive dense einsum path (parity oracle; ~92 MB of logits
+        per attention site at K=2400, 16 sites per matcher call)."""
     if backend in ("pallas", "pallas_interpret"):
         from ..ops.pallas.attention_kernel import flash_mha
 
         msg = flash_mha(
             q, k, v, mask_k, interpret=backend == "pallas_interpret"
         )
+    elif backend == "xla_flash":
+        msg = _flash_mha_xla(q, k, v, mask_k)
     else:
         dh = q.shape[-1]
         logits = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(dh)
@@ -203,16 +254,17 @@ def assignment_scores(
     scores combine double-softmax similarity with matchability sigmoids
     (LightGlue eq. 8-style partial assignment).
 
-    attn_backend: "pallas" = the fused flash kernel
-    (ops/pallas/attention_kernel.py; interpret-mode parity-tested), "xla" =
-    einsum attention. "auto" currently resolves to "xla" everywhere: the
-    axon tunnel's remote Mosaic build crashes compiling the flash kernel
-    (first with a spurious [H,K,K]-sized scoped-vmem stack allocation,
-    then with compile-helper exit 1 on the 2-D-block layout) — opt in with
-    "pallas" on toolchains whose Mosaic accepts it.
+    attn_backend: "auto" resolves to "xla_flash" — the lax.scan
+    online-softmax path (_flash_mha_xla): flash-attention memory behavior
+    (no [H, K, K] logits in HBM) on ANY toolchain. "pallas" = the fused
+    VMEM kernel (ops/pallas/attention_kernel.py; interpret-mode
+    parity-tested) for Mosaic builds that accept it — the axon tunnel's
+    remote Mosaic rejects it (spurious [H,K,K] scoped-vmem allocation,
+    then compile-helper exit 1 on the 2-D-block layout). "xla" = naive
+    dense einsum (parity oracle).
     """
     if attn_backend == "auto":
-        attn_backend = "xla"
+        attn_backend = "xla_flash"
     w, h = image_size
     n0 = (xy0 - jnp.array([w / 2, h / 2])) / max(w, h)
     n1 = (xy1 - jnp.array([w / 2, h / 2])) / max(w, h)

@@ -193,6 +193,25 @@ def test_flash_attention_matches_xla_mha(rng):
                                atol=2e-2, rtol=2e-2)
 
 
+def test_xla_flash_attention_matches_dense(rng):
+    """The lax.scan online-softmax path (_flash_mha_xla, the "auto" default)
+    must reproduce the dense einsum path to f32 accuracy — including the
+    fully-masked uniform-softmax case and ragged (non-tile-multiple) K."""
+    Kq, Kk, H, dh = 200, 333, 4, 64
+    q = jnp.asarray(rng.normal(size=(Kq, H, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(Kk, H, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(Kk, H, dh)), jnp.float32)
+    mask_q = jnp.asarray(rng.random(Kq) < 0.8)
+    for mask_k in (
+        jnp.asarray(rng.random(Kk) < 0.8),
+        jnp.zeros((Kk,), bool),  # all masked -> uniform over the Kk keys
+    ):
+        ref = lightglue._mha(q, k, v, mask_q, mask_k, backend="xla")
+        got = lightglue._mha(q, k, v, mask_q, mask_k, backend="xla_flash")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_lightglue_pallas_backend_matches_xla(rng):
     """Full assignment_scores parity between the XLA and flash-kernel
     attention backends (interpret mode on CPU)."""
