@@ -161,7 +161,7 @@ def _commit_keyframe(
         tri = triangulate_points(cam, pose1, pose2, uv1, feat.xy, mask=un)
         colors = bilinear_sample(img, feat.xy)
         K = feat.xy.shape[0]
-        m, kfs, _, _ = create_points(
+        m, kfs, new_slots, new_created = create_points(
             m,
             tri.points,
             tri.valid,
@@ -172,6 +172,8 @@ def _commit_keyframe(
             colors,
             kfs,
         )
+    else:
+        new_slots = new_created = None
 
     # Global BA: all previous keyframes frozen, the new one free, points free
     # (src/Slam.cpp:202-213 — only points observed by the free frame enter).
@@ -281,6 +283,23 @@ def _commit_keyframe(
         remove = m.valid & has_obs & (err > cfg.cull_reproj_px)
         m, kfs = remove_points(m, kfs, remove)
 
+    # Incremental obs-descriptor cache refresh: the only rows whose
+    # observation TABLE changed this commit are tracked associations
+    # (add_associations targets `matches`) and created points — at most
+    # K + C of the P capacity slots. Re-gather just those [T, O, D] rows
+    # instead of the full [P, O, D] sweep; removals/evictions only flip
+    # validity, which every consumer re-derives from obs_valid & valid.
+    # (At P=16384 the full re-gather per commit was one of the
+    # P-proportional passes behind the 37% large-map throughput loss.)
+    Pm = m.valid.shape[0]
+    touched = jnp.where(match_ok, matches, Pm).astype(jnp.int32)
+    if new_slots is not None:
+        t2 = jnp.where(new_created, new_slots, Pm).astype(jnp.int32)
+        touched = jnp.concatenate([touched, t2])
+    safe = jnp.minimum(touched, Pm - 1)
+    drows = kfs.desc[m.obs_kf[safe], m.obs_kp[safe]].astype(jnp.bfloat16)
+    obs_desc = state.obs_desc.at[touched].set(drows, mode="drop")
+
     return state._replace(
         kfs=kfs,
         map=m,
@@ -288,7 +307,7 @@ def _commit_keyframe(
         last_kf_slot=slot,
         last_rvec=rvec,
         last_t=t,
-        obs_desc=m.observation_descriptors(kfs)[0].astype(jnp.bfloat16),
+        obs_desc=obs_desc,
         arch_rvec=arch_rvec,
         arch_t=arch_t,
         arch_frame_index=arch_fi,

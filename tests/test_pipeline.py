@@ -66,6 +66,32 @@ def test_full_pipeline_trajectory(seq):
     assert int(infos[-1].n_points) > int(infos[0].n_points)
 
 
+def test_obs_desc_cache_matches_full_regather(seq):
+    """The incremental per-commit obs-descriptor refresh must equal the full
+    [P, O, D] re-gather on every VALID observation entry (invalid entries
+    may hold stale values — every consumer masks with obs_valid & valid).
+    Uses a tiny keyframe window so evictions + slot reuse are exercised."""
+    import jax.numpy as jnp
+
+    cfg = SlamConfig(
+        triangulate_points=True,
+        bundle_adjust=True,
+        optimize_pose=True,
+        cull_points=True,
+        max_keyframes=6,
+        map_capacity=1024,
+    )
+    slam = _run(seq, cfg)
+    st = slam.state
+    full, dvalid = st.map.observation_descriptors(st.kfs)
+    full = full.astype(jnp.bfloat16)
+    mask = np.asarray(dvalid)
+    got = np.asarray(st.obs_desc.astype(jnp.float32))[mask]
+    want = np.asarray(full.astype(jnp.float32))[mask]
+    assert mask.sum() > 100
+    np.testing.assert_array_equal(got, want)
+
+
 def test_reference_default_config(seq):
     """The reference main hard-codes {triangulate=0, BA=1, optimize_pose=1,
     cull=0, essential=0} (src/main.cpp:53-59). Tracking must hold while the
