@@ -114,15 +114,19 @@ def full_trajectory_ate(slam, seq) -> dict:
     run that silently stalls scores low coverage instead of hiding it."""
     from racing_slam_tpu.utils.metrics import ate_rmse, camera_centers
 
+    from racing_slam_tpu.utils.metrics import umeyama_sim3
+
     segs = list(slam.segments) + [
         dict(
             poses=slam.poses(include_archived=True),
             frame_indices=slam.keyframe_indices(include_archived=True),
         )
     ]
+    n_live_final = len(slam.keyframe_indices())
     tot_ate, tot_len, covered, n_kf = 0.0, 0.0, 0, 0
     spans = []
-    for s in segs:
+    arch_rmse = live_rmse = float("nan")
+    for si, s in enumerate(segs):
         idx = np.asarray(s["frame_indices"])
         est = np.asarray(s["poses"])
         if len(idx) < 3:
@@ -135,6 +139,17 @@ def full_trajectory_ate(slam, seq) -> dict:
         covered += int(idx[-1]) - int(idx[0]) + 1
         n_kf += len(idx)
         spans.append([int(idx[0]), int(idx[-1])])
+        # Write-once-archive cost probe (final segment): one Sim(3) fit on
+        # the WHOLE segment, then split the residual into the archived
+        # prefix vs the live window. If the archived part is no worse, the
+        # frozen-at-eviction poses cost ~nothing vs keeping them live.
+        n_arch = len(idx) - n_live_final
+        if si == len(segs) - 1 and n_arch >= 3 and n_live_final >= 3:
+            c_est, c_gt = camera_centers(est), camera_centers(gt)
+            sc, R, t = umeyama_sim3(c_est, c_gt)
+            err = np.linalg.norm((sc * (R @ c_est.T)).T + t - c_gt, axis=-1)
+            arch_rmse = float(np.sqrt((err[:n_arch] ** 2).mean()))
+            live_rmse = float(np.sqrt((err[n_arch:] ** 2).mean()))
     return dict(
         ate=tot_ate,
         length=max(tot_len, 1e-9),
@@ -143,6 +158,8 @@ def full_trajectory_ate(slam, seq) -> dict:
         n_archived=len(slam.keyframe_indices(include_archived=True))
         - len(slam.keyframe_indices()),
         kf_span=spans,
+        ate_split_archived=arch_rmse,
+        ate_split_live=live_rmse,
     )
 
 
@@ -274,7 +291,9 @@ def run_one(seed: int, cam, cfg, variant: str, n_frames: int, batch: int,
         f"pts={int(slam.state.map.num_points())} "
         f"reinits={n_reinits} reproj={slam.reprojection_error():.2f}px | "
         f"full-traj ATE {ate:.4f} / len {length:.2f} "
-        f"({100*ate/max(length,1e-9):.2f}%)"
+        f"({100*ate/max(length,1e-9):.2f}%) | "
+        f"split archived/live RMSE {acc['ate_split_archived']:.4f}/"
+        f"{acc['ate_split_live']:.4f}"
     )
 
     dev_fps = device_replay_fps(slam, seq, batch)
@@ -488,6 +507,13 @@ def main():
                 "coverage": round(cov_med, 3),
                 "coverage_range": [round(cov_list[0], 3), round(cov_list[-1], 3)],
                 "reinits": [r["n_reinits"] for r in results],
+                # Write-once-archive cost probe: RMSE split of the final
+                # segment under ONE Sim(3) fit — archived prefix vs live
+                # window (see full_trajectory_ate).
+                "ate_split_archived": round(float(np.nanmedian(
+                    [r["acc"]["ate_split_archived"] for r in results])), 4),
+                "ate_split_live": round(float(np.nanmedian(
+                    [r["acc"]["ate_split_live"] for r in results])), 4),
                 "ba_iters_per_s": round(rate, 1),
                 "reference_rerun_fps": REFERENCE_RERUN_FPS,
             }
