@@ -289,7 +289,9 @@ def run_one(seed: int, cam, cfg, variant: str, n_frames: int, batch: int,
         f"kf={acc['n_kf']} ({acc['n_archived']} archived, "
         f"spans {acc['kf_span']}, coverage {acc['coverage']:.2f}) "
         f"pts={int(slam.state.map.num_points())} "
-        f"reinits={n_reinits} reproj={slam.reprojection_error():.2f}px | "
+        f"reinits={n_reinits}"
+        f"{' (EOF mid-rebootstrap, state restored)' if slam.eof_on_reinit else ''}"
+        f" reproj={slam.reprojection_error():.2f}px | "
         f"full-traj ATE {ate:.4f} / len {length:.2f} "
         f"({100*ate/max(length,1e-9):.2f}%) | "
         f"split archived/live RMSE {acc['ate_split_archived']:.4f}/"

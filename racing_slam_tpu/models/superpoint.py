@@ -115,18 +115,26 @@ def backbone(params: SuperPointParams, img: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def heads_logits(params: SuperPointParams, feat: jnp.ndarray):
+    """-> (detector logits [Hc, Wc, 65], dense descriptors [Hc, Wc, D]).
+    The raw 65-way logits are the training surface (cell-wise CE against
+    corner labels, the original SuperPoint formulation)."""
+    d = jax.nn.relu(_conv(feat, params.det_w[0], params.det_b[0]))
+    logits = _conv(d, params.det_w[1], params.det_b[1])  # [Hc, Wc, 65]
+    e = jax.nn.relu(_conv(feat, params.desc_w[0], params.desc_b[0]))
+    desc = _conv(e, params.desc_w[1], params.desc_b[1])  # [Hc, Wc, D]
+    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    return logits, desc
+
+
 def heads(params: SuperPointParams, feat: jnp.ndarray):
     """-> (heatmap [H, W], dense descriptors [H/8, W/8, D])."""
     Hc, Wc, _ = feat.shape
-    d = jax.nn.relu(_conv(feat, params.det_w[0], params.det_b[0]))
-    logits = _conv(d, params.det_w[1], params.det_b[1])  # [Hc, Wc, 65]
+    logits, desc = heads_logits(params, feat)
     prob = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
     heat = prob.reshape(Hc, Wc, CELL, CELL).transpose(0, 2, 1, 3).reshape(
         Hc * CELL, Wc * CELL
     )
-    e = jax.nn.relu(_conv(feat, params.desc_w[0], params.desc_b[0]))
-    desc = _conv(e, params.desc_w[1], params.desc_b[1])  # [Hc, Wc, D]
-    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
     return heat, desc
 
 
@@ -168,7 +176,27 @@ def select_keypoints(
     cell_ids = jnp.tile(jnp.arange(gh * gw), n_per_cell)
     cy = (cell_ids // gw) * cell + best // cell
     cx = (cell_ids % gw) * cell + best % cell
-    xy = jnp.stack([cx, cy], axis=-1).astype(jnp.float32)
+
+    # Sub-pixel parabola fit on the heatmap (same refinement as the
+    # classical detector, ops/corners.select_corners_from_maps): integer
+    # cell-argmax keypoints alone put a ~0.3 px quantization floor under
+    # every reprojection residual the whole geometry stack minimizes.
+    cyc = jnp.clip(cy, 1, H - 2)
+    cxc = jnp.clip(cx, 1, W - 2)
+    s = lambda dy, dx: heat[cyc + dy, cxc + dx]
+    denom_x = s(0, -1) - 2.0 * s(0, 0) + s(0, 1)
+    denom_y = s(-1, 0) - 2.0 * s(0, 0) + s(1, 0)
+    dx = jnp.where(
+        jnp.abs(denom_x) > 1e-12, 0.5 * (s(0, -1) - s(0, 1)) / denom_x, 0.0
+    )
+    dy = jnp.where(
+        jnp.abs(denom_y) > 1e-12, 0.5 * (s(-1, 0) - s(1, 0)) / denom_y, 0.0
+    )
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+    xy = jnp.stack(
+        [cxc.astype(jnp.float32) + dx, cyc.astype(jnp.float32) + dy], axis=-1
+    )
     return xy, sc, sc > threshold
 
 

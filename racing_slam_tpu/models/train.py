@@ -93,24 +93,51 @@ def apply_h(H: np.ndarray, xy: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _detector_target(img: jnp.ndarray) -> jnp.ndarray:
-    """Normalized Shi-Tomasi response as the detection distillation target."""
-    r = shi_tomasi_response(img)
-    r = jnp.maximum(r, 0.0)
-    return r / (jnp.max(r) + 1e-9)
+def _detector_labels(img: jnp.ndarray, nms: int = 4, quality: float = 0.01):
+    """Cell-wise 65-way corner labels from the classical detector: per 8x8
+    cell, the flat index of the strongest NMS'd Shi-Tomasi peak, or 64
+    (dustbin) for cells with no peak. This is the original SuperPoint
+    formulation (MagicPoint stage) with our classical detector as the
+    corner oracle — a peaked CE target localizes, where the previous raw
+    response-map MSE distillation produced blurry heatmaps (~2 px median
+    epipolar error vs the classical frontend's 0.19 px)."""
+    from ..ops.corners import max_pool_same
+
+    score = shi_tomasi_response(img)
+    is_peak = score >= max_pool_same(score, 2 * nms + 1)
+    peak = jnp.where(
+        is_peak & (score > quality * jnp.max(score)), score, 0.0
+    )
+    H, W = img.shape
+    C = superpoint.CELL
+    Hc, Wc = H // C, W // C
+    cells = (
+        peak[: Hc * C, : Wc * C]
+        .reshape(Hc, C, Wc, C)
+        .transpose(0, 2, 1, 3)
+        .reshape(Hc, Wc, C * C)
+    )
+    best = jnp.argmax(cells, axis=-1)
+    has = jnp.max(cells, axis=-1) > 0.0
+    return jnp.where(has, best, C * C)  # 64 = dustbin
 
 
 def superpoint_loss(params, img0, img1, xy0, xy1, corr_valid):
-    """Detector distillation (both images) + descriptor InfoNCE across the
+    """Detector cell-CE (both images) + descriptor InfoNCE across the
     homography correspondence (xy0[i] <-> xy1[i])."""
     f0 = superpoint.backbone(params, img0)
     f1 = superpoint.backbone(params, img1)
-    heat0, dmap0 = superpoint.heads(params, f0)
-    heat1, dmap1 = superpoint.heads(params, f1)
+    lg0, dmap0 = superpoint.heads_logits(params, f0)
+    lg1, dmap1 = superpoint.heads_logits(params, f1)
 
-    t0 = _detector_target(img0)
-    t1 = _detector_target(img1)
-    det_loss = jnp.mean((heat0 - t0) ** 2) + jnp.mean((heat1 - t1) ** 2)
+    def det_ce(logits, img):
+        labels = _detector_labels(img)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(
+            jnp.take_along_axis(lp, labels[..., None], axis=-1)
+        )
+
+    det_loss = det_ce(lg0, img0) + det_ce(lg1, img1)
 
     d0 = superpoint.sample_descriptors(dmap0, xy0)  # [N, D]
     d1 = superpoint.sample_descriptors(dmap1, xy1)
@@ -121,7 +148,7 @@ def superpoint_loss(params, img0, img1, xy0, xy1, corr_valid):
     desc_loss = jnp.sum(jnp.where(corr_valid, ce + ce_t, 0.0)) / (
         jnp.sum(corr_valid) + 1e-6
     )
-    return 100.0 * det_loss + desc_loss
+    return det_loss + desc_loss
 
 
 def train_superpoint(

@@ -956,6 +956,7 @@ class Slam:
         self._pending_info: StepInfo | None = None
         self.segments: list[dict] = []  # archived trajectory segments
         self.n_reinits = 0
+        self.eof_on_reinit = False  # loss declared but stream ended mid-bootstrap
 
     # -- frame source -------------------------------------------------------
     def _decode_next(self):
@@ -1021,6 +1022,7 @@ class Slam:
         self.refine_costs = []
         self.segments = []
         self.n_reinits = 0
+        self.eof_on_reinit = False
         self._arch_overflow_warned = False
 
     # -- public API ---------------------------------------------------------
@@ -1121,17 +1123,8 @@ class Slam:
         if self._lost_streak < self.cfg.lost_patience:
             return True
         self._lost_streak = 0
-        self.segments.append(
-            dict(
-                poses=self.poses(include_archived=True),
-                frame_indices=self.keyframe_indices(include_archived=True),
-                points=self.points(),
-            )
-        )
-        self.reset_state()
-        self.n_reinits += 1
         self._pending_info = None  # drop the in-flight info from the old map
-        self.initialize()
+        self._recover_lost()
         return False
 
     def run(self, max_frames: int | None = None) -> list:
@@ -1319,7 +1312,14 @@ class Slam:
     def _batch_lost(self, infos: StepInfo, n: int) -> bool:
         """PURE detection over a completed batch's stacked infos (updates
         only the streak counter) — recovery is separate so run_batched can
-        hand prefetched frames back to the stream first. True = lost."""
+        hand prefetched frames back to the stream first. True = lost.
+
+        Semantics: only the streak still OPEN at the batch end counts. A
+        mid-batch dip that self-recovers within the same batch does not
+        trigger (measured on the bench world, seed 7: inliers fall to
+        single digits for ~6 frames near frame 250 and recover unaided —
+        re-initing there would discard a live map that tracking was about
+        to re-acquire, which is exactly the bad trade)."""
         counts = np.asarray(infos.n_inliers)[:n]
         lost_run = self._lost_streak  # streak persists across batches
         for c in counts:
@@ -1332,7 +1332,13 @@ class Slam:
 
     def _recover_lost(self) -> None:
         """Archive the finished trajectory segment and re-bootstrap from the
-        current stream position."""
+        current stream position. If the re-bootstrap cannot complete (EOF
+        before two initializing frames are found — a loss declared near the
+        end of the stream), restore the archived world state instead of
+        finishing with an empty map: the old map was live moments ago and
+        every accessor (poses/points/reprojection_error) should keep
+        reflecting it."""
+        backup = self.state
         self.segments.append(
             dict(
                 poses=self.poses(include_archived=True),
@@ -1342,7 +1348,11 @@ class Slam:
         )
         self.reset_state()
         self.n_reinits += 1
-        self.initialize()
+        if not self.initialize():
+            self.state = backup
+            self.segments.pop()
+            self.n_reinits -= 1
+            self.eof_on_reinit = True
         self._prefetched = None
 
     # -- accessors (reference: Slam::map/poses/reprojection_error) ----------

@@ -165,6 +165,33 @@ def test_tracking_lost_reinit():
     assert seg["frame_indices"].max() <= 8 + cfg.lost_patience
 
 
+def test_lost_at_eof_restores_state():
+    """A loss declared so close to EOF that the re-bootstrap cannot complete
+    must RESTORE the archived world state instead of finishing with an
+    empty map (round-4 bench: seed 7 ended pts=0 after a near-EOF
+    re-init whose bootstrap never found a second frame)."""
+    cam = _small_cam()
+    step = np.array([0.10, 0.01, 0.16], np.float32)
+    a = make_sequence(np.random.default_rng(5), n_frames=10, cam=cam,
+                      n_sprites=140, step_t=step)
+    # Tail: featureless black frames — loss fires, bootstrap starves.
+    black = [np.zeros_like(a.frames[0]) for _ in range(4)]
+    cfg = SlamConfig(
+        triangulate_points=True, bundle_adjust=True, optimize_pose=True,
+        cull_points=True, max_keyframes=16, map_capacity=2048,
+        lost_check_interval=1,
+    )
+    slam = Slam(cam, ArraySource(a.frames + black), cfg)
+    assert slam.initialize()
+    slam.run()
+    assert slam.eof_on_reinit
+    assert slam.n_reinits == 0  # attempt rolled back
+    assert len(slam.segments) == 0
+    # The pre-loss world survived: live keyframes and points, not zeros.
+    assert int(slam.state.num_kf) >= 2
+    assert len(slam.points()) > 0
+
+
 def test_keyframe_eviction_keeps_tracking():
     """At keyframe capacity the engine evicts the OLDEST keyframe (sliding
     local map) and drops orphaned points; tracking must stay healthy well
