@@ -467,6 +467,14 @@ def eval_lightglue_superpoint(params, superpoint_weights=None, **kw):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--sp-steps", type=int, default=None,
+                   help="SuperPoint step count override (default: --steps)")
+    p.add_argument("--sp-size", type=str, default="120x160",
+                   help="SuperPoint training image size HxW; larger sizes "
+                        "give more detector cells per example and transfer "
+                        "better to the 480x640 pipeline resolution")
+    p.add_argument("--lg-size", type=str, default="160x224",
+                   help="LightGlue-on-frontend training image size HxW")
     p.add_argument("--out", type=Path, default=Path("weights"))
     p.add_argument(
         "--which",
@@ -499,19 +507,22 @@ def main(argv=None):
     if args.cpu and jax.default_backend() != "cpu":
         jax.config.update("jax_platforms", "cpu")  # no-op if backend is live
     args.out.mkdir(parents=True, exist_ok=True)
+    sp_hw = tuple(int(v) for v in args.sp_size.split("x"))
+    lg_hw = tuple(int(v) for v in args.lg_size.split("x"))
     if args.which in ("superpoint", "both"):
-        sp = train_superpoint(args.steps)
+        sp = train_superpoint(args.sp_steps or args.steps, img_size=sp_hw)
         superpoint.save_params(args.out / "superpoint.npz", sp)
         print(f"saved {args.out}/superpoint.npz")
     if args.which in ("lightglue", "lightglue-frontend", "both"):
-        lg = train_lightglue_frontend(args.steps)
+        lg = train_lightglue_frontend(args.steps, img_size=lg_hw)
         print(eval_lightglue_frontend(lg))
         lightglue.save_params(args.out / "lightglue.npz", lg)
         print(f"saved {args.out}/lightglue.npz")
     if args.which in ("lightglue-superpoint", "both"):
         sp_path = args.out / "superpoint.npz"
         lg = train_lightglue_superpoint(
-            args.steps, superpoint_weights=sp_path if sp_path.exists() else None
+            args.steps, img_size=lg_hw,
+            superpoint_weights=sp_path if sp_path.exists() else None
         )
         print(eval_lightglue_superpoint(
             lg, superpoint_weights=sp_path if sp_path.exists() else None

@@ -53,6 +53,15 @@ class SlamConfig:
     # refinement absorb the extra noise.
     min_commit_inliers: int = 0
     cull_reproj_px: float = 3.0  # src/Slam.cpp:234
+    # Commit-time cull candidate budget. The cull sweep is incremental-exact
+    # (pipeline._commit_keyframe: only points whose error inputs changed
+    # this commit are re-checked, compacted to [cull_budget, O] rows); when
+    # candidates overflow the budget — more changed points than this — the
+    # commit falls back to the exact full [P, O] sweep under lax.cond. The
+    # window's covering set measures a few hundred live points, so 2048
+    # leaves wide headroom. 0 forces the full sweep on every commit
+    # (equivalence-testing / A-B knob).
+    cull_budget: int = 2048
     min_init_points: int = 50  # src/Init.h:19
     max_ref_chances: int = 5  # src/Init.h:18
     ba_iters: int = 10  # src/Optimization.cpp:153

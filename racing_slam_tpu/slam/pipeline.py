@@ -48,6 +48,7 @@ from .state import (
     create_points,
     keyframe_reprojection_error,
     point_reprojection_errors,
+    point_reprojection_errors_sel,
     remove_points,
     write_keyframe,
 )
@@ -129,6 +130,9 @@ def _commit_keyframe(
     # Scrub observations referencing the evicted slot, then drop map points
     # that lost their last observation (they can never be matched or culled
     # again — zombie slots would otherwise exhaust map capacity).
+    # Points losing an observation here are cull candidates (their MEAN
+    # error changes); capture the mask before the scrub erases it.
+    evicted_obs = m.observed_by(slot) & m.valid
     m = m._replace(obs_valid=m.obs_valid & (m.obs_kf != slot))
     orphan = m.valid & ~jnp.any(m.obs_valid, axis=-1)
     m, kfs = remove_points(m, kfs, orphan)
@@ -278,9 +282,53 @@ def _commit_keyframe(
         t = new_t[slot]
 
     # Cull points with mean reprojection error > 3 px (src/Slam.cpp:221-243).
+    # Incremental-exact: a point whose position, observing-keyframe poses,
+    # and observation set are all unchanged since its last check has an
+    # unchanged mean error — it survived then, so it survives now. The only
+    # points whose inputs changed this commit are (a) those observed by the
+    # newest W keyframes (covers every pose the single/window BA freed and
+    # every point position either solver moved — both selections are subsets
+    # of these observation masks), (b) those that gained an observation or
+    # were created (subset of observed_by(slot), slot ∈ newest W), and
+    # (c) those that lost an observation to the eviction scrub. Periodic
+    # refinement moves everything, but its program runs its own FULL sweep
+    # (see _refine_fn), so the invariant holds between commits. The sweep
+    # compacts to <= cull_budget candidate rows ([C, O] work instead of
+    # [P, O] — one of the P-proportional passes behind the large-map
+    # throughput gap); if candidates ever overflow the budget, lax.cond
+    # falls back to the exact full sweep rather than skipping checks.
     if cfg.cull_points:
-        err, has_obs = point_reprojection_errors(cam, m, kfs)
-        remove = m.valid & has_obs & (err > cfg.cull_reproj_px)
+        P = m.valid.shape[0]
+        Wc = max(cfg.local_ba_window, 1)
+        # Invalid slots sort last; if one lands in the window (num_kf < Wc)
+        # it has no valid observations, so observed_by_any ignores it.
+        newest = jnp.argsort(
+            jnp.where(kfs.valid, -kfs.frame_index, jnp.int32(1 << 30))
+        )[:Wc].astype(jnp.int32)
+        cand = (evicted_obs | m.observed_by_any(newest)) & m.valid
+        Cb = min(P, cfg.cull_budget)
+        csel, csel_ok = m.ba_point_selection_mask(cand, Cb)
+
+        def cull_compact(args):
+            m_, kfs_ = args
+            err, has_obs = point_reprojection_errors_sel(
+                cam, m_, kfs_, csel, csel_ok
+            )
+            bad = csel_ok & has_obs & (err > cfg.cull_reproj_px)
+            return (
+                jnp.zeros((P,), bool)
+                .at[jnp.where(bad, csel, P)]
+                .set(True, mode="drop")
+            )
+
+        def cull_full(args):
+            m_, kfs_ = args
+            err, has_obs = point_reprojection_errors(cam, m_, kfs_)
+            return m_.valid & has_obs & (err > cfg.cull_reproj_px)
+
+        remove = jax.lax.cond(
+            jnp.sum(cand) <= Cb, cull_compact, cull_full, (m, kfs)
+        )
         m, kfs = remove_points(m, kfs, remove)
 
     # Incremental obs-descriptor cache refresh: the only rows whose
@@ -1262,9 +1310,17 @@ class Slam:
                 )
                 speculated = False
                 if not lost and prev_infos is not None and (
-                    np.asarray(prev_infos.n_inliers)[:prev_n]
+                    np.asarray(prev_infos.n_inliers)[:prev_n][-1:]
                     < self.cfg.min_track_matches
                 ).any():
+                    # Speculative early check ONLY when the previous batch
+                    # ENDS with an open low-inlier streak (a real loss stays
+                    # low into the current batch). Reading the current
+                    # batch's counts BLOCKS on its dispatch — doing so for
+                    # transient mid-batch dips serialized host and device
+                    # and cost the learned frontend ~40% of its wall
+                    # throughput (its inlier counts dip routinely while
+                    # tracking stays healthy).
                     lost = self._batch_lost(infos, n)
                     speculated = True
                 if lost:

@@ -381,6 +381,34 @@ def remove_points(
     return m, kfs
 
 
+def _obs_mean_errors(
+    cam: Camera,
+    pos: jnp.ndarray,  # [N, 3]
+    obs_kf: jnp.ndarray,  # [N, O]
+    obs_kp: jnp.ndarray,  # [N, O]
+    obs_w: jnp.ndarray,  # [N, O] bool — observations to count
+    kfs: KeyframeStore,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean reprojection error (px) per row over its observations.
+
+    The F keyframe rotations are Rodrigues-expanded ONCE ([F, 3, 3]) and
+    gathered per observation — the naive per-observation pose_matrix build
+    materialized [N*O, 4, 4] transforms with transcendentals per entry, one
+    of the P-proportional commit costs at large map capacity."""
+    from ..ops.camera import project_camera_points
+
+    R = se3.exp_so3(kfs.rvec)  # [F, 3, 3]
+    Xc = (
+        jnp.einsum("noij,nj->noi", R[obs_kf], pos) + kfs.t[obs_kf]
+    )  # [N, O, 3]
+    uv = project_camera_points(cam, Xc)
+    obs_uv = kfs.kp_xy[obs_kf, obs_kp]  # [N, O, 2]
+    err = jnp.linalg.norm(uv - obs_uv, axis=-1)
+    n = jnp.sum(obs_w, axis=-1)
+    mean_err = jnp.sum(jnp.where(obs_w, err, 0.0), axis=-1) / jnp.maximum(n, 1)
+    return mean_err, n > 0
+
+
 def point_reprojection_errors(
     cam: Camera, m: MapState, kfs: KeyframeStore
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -388,19 +416,30 @@ def point_reprojection_errors(
 
     Mirrors Slam::cull_points' accumulation (src/Slam.cpp:221-243).
     Returns (mean_err[P], has_obs[P])."""
-    P, O = m.obs_kf.shape
-    rv = kfs.rvec[m.obs_kf]  # [P, O, 3]
-    tt = kfs.t[m.obs_kf]
-    poses = se3.pose_matrix(rv.reshape(-1, 3), tt.reshape(-1, 3))  # [P*O, 4, 4]
-    pts = jnp.broadcast_to(m.pos[:, None, :], (P, O, 3)).reshape(-1, 1, 3)
-    uv, _ = project_with_depth(cam, poses, pts)
-    uv = uv.reshape(P, O, 2)
-    obs_uv = kfs.kp_xy[m.obs_kf, m.obs_kp]  # [P, O, 2]
-    err = jnp.linalg.norm(uv - obs_uv, axis=-1)
-    w = m.obs_valid & m.valid[:, None]
-    n = jnp.sum(w, axis=-1)
-    mean_err = jnp.sum(jnp.where(w, err, 0.0), axis=-1) / jnp.maximum(n, 1)
-    return mean_err, n > 0
+    return _obs_mean_errors(
+        cam, m.pos, m.obs_kf, m.obs_kp, m.obs_valid & m.valid[:, None], kfs
+    )
+
+
+def point_reprojection_errors_sel(
+    cam: Camera,
+    m: MapState,
+    kfs: KeyframeStore,
+    sel: jnp.ndarray,  # [C] i32 map slots
+    sel_ok: jnp.ndarray,  # [C] bool
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """point_reprojection_errors over a COMPACTED candidate set: [C, O]
+    work instead of [P, O]. Used by the commit-time incremental cull (see
+    pipeline._commit_keyframe): only points whose error inputs changed this
+    commit need re-checking, so the sweep compacts to those."""
+    return _obs_mean_errors(
+        cam,
+        m.pos[sel],
+        m.obs_kf[sel],
+        m.obs_kp[sel],
+        m.obs_valid[sel] & (m.valid[sel] & sel_ok)[:, None],
+        kfs,
+    )
 
 
 def keyframe_reprojection_error(

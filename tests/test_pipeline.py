@@ -92,6 +92,40 @@ def test_obs_desc_cache_matches_full_regather(seq):
     np.testing.assert_array_equal(got, want)
 
 
+def test_compact_cull_matches_full_sweep(seq):
+    """The commit-time cull compacts to the points whose error inputs
+    changed this commit (pipeline._commit_keyframe); it must reproduce the
+    full [P, O] sweep's decisions exactly. cull_budget=0 forces the full
+    sweep, so two otherwise-identical runs compare the two paths end-to-end
+    (evictions + window BA exercised via a small keyframe store)."""
+    base = dict(
+        triangulate_points=True,
+        bundle_adjust=True,
+        optimize_pose=True,
+        cull_points=True,
+        max_keyframes=6,
+        map_capacity=1024,
+        local_ba_window=4,
+    )
+    s1 = _run(seq, SlamConfig(**base))
+    s2 = _run(seq, SlamConfig(**base, cull_budget=0))
+    np.testing.assert_array_equal(
+        np.asarray(s1.state.map.valid), np.asarray(s2.state.map.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1.state.kfs.frame_index),
+        np.asarray(s2.state.kfs.frame_index),
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.state.kfs.rvec), np.asarray(s2.state.kfs.rvec),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.state.map.pos), np.asarray(s2.state.map.pos),
+        atol=1e-4,
+    )
+
+
 def test_reference_default_config(seq):
     """The reference main hard-codes {triangulate=0, BA=1, optimize_pose=1,
     cull=0, essential=0} (src/main.cpp:53-59). Tracking must hold while the
