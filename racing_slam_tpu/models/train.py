@@ -122,9 +122,16 @@ def _detector_labels(img: jnp.ndarray, nms: int = 4, quality: float = 0.01):
     return jnp.where(has, best, C * C)  # 64 = dustbin
 
 
-def superpoint_loss(params, img0, img1, xy0, xy1, corr_valid):
+def superpoint_loss(params, img0, img1, xy0, xy1, corr_valid, xy_neg):
     """Detector cell-CE (both images) + descriptor InfoNCE across the
-    homography correspondence (xy0[i] <-> xy1[i])."""
+    homography correspondence (xy0[i] <-> xy1[i]).
+
+    xy_neg [M, 2]: extra DISTRACTOR sites in image 1 (corners that are NOT
+    the correspondence of any xy0). In-pair negatives alone leave the
+    descriptor space coarse — every InfoNCE row must only beat N-1 mostly
+    far-away sites; appending hard negatives from the same image forces
+    local distinctiveness, which is what the pipeline's mutual-1NN and
+    LightGlue scoring actually need."""
     f0 = superpoint.backbone(params, img0)
     f1 = superpoint.backbone(params, img1)
     lg0, dmap0 = superpoint.heads_logits(params, f0)
@@ -141,10 +148,11 @@ def superpoint_loss(params, img0, img1, xy0, xy1, corr_valid):
 
     d0 = superpoint.sample_descriptors(dmap0, xy0)  # [N, D]
     d1 = superpoint.sample_descriptors(dmap1, xy1)
-    sim = (d0 @ d1.T) * 10.0  # temperature
-    labels = jnp.arange(sim.shape[0])
+    dn = superpoint.sample_descriptors(dmap1, xy_neg)  # [M, D] distractors
+    sim = (d0 @ jnp.concatenate([d1, dn], axis=0).T) * 10.0  # [N, N+M]
+    labels = jnp.arange(d0.shape[0])
     ce = -jax.nn.log_softmax(sim, axis=1)[labels, labels]
-    ce_t = -jax.nn.log_softmax(sim, axis=0)[labels, labels]
+    ce_t = -jax.nn.log_softmax(sim[:, : d0.shape[0]], axis=0)[labels, labels]
     desc_loss = jnp.sum(jnp.where(corr_valid, ce + ce_t, 0.0)) / (
         jnp.sum(corr_valid) + 1e-6
     )
@@ -191,26 +199,34 @@ def train_superpoint(
     lr: float = 1e-3,
     seed: int = 0,
     log_every: int = 20,
+    resume: str | None = None,
 ) -> superpoint.SuperPointParams:
     import optax
 
     rng = np.random.default_rng(seed)
-    params = superpoint.init_params(jax.random.PRNGKey(seed))
-    opt = optax.adam(lr)
+    params = (
+        superpoint.load_params(resume)
+        if resume
+        else superpoint.init_params(jax.random.PRNGKey(seed))
+    )
+    # Cosine decay to ~0: from-scratch InfoNCE plateaus noisily at a fixed
+    # step size; the tail of the schedule is where match precision converges.
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.02))
     opt_state = opt.init(params)
     h, w = img_size
     jit_response = jax.jit(shi_tomasi_response)
+    pool = _ImagePool(rng, h, w)
 
     @jax.jit
-    def step_fn(params, opt_state, img0, img1, xy0, xy1, cv):
+    def step_fn(params, opt_state, img0, img1, xy0, xy1, cv, xyn):
         loss, grads = jax.value_and_grad(superpoint_loss)(
-            params, img0, img1, xy0, xy1, cv
+            params, img0, img1, xy0, xy1, cv, xyn
         )
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     for i in range(steps):
-        img0 = _train_image(rng, h, w)
+        img0 = pool.sample()
         H = random_homography(rng, h, w)
         img1 = warp_image(img0, H)
         xy0 = _corner_correspondences(img0, rng, n_corr, h, w, jit_response)
@@ -220,10 +236,18 @@ def train_superpoint(
             & (xy1[:, 1] >= 8) & (xy1[:, 1] < h - 8)
         )
         img1 = _photometric(img1, rng)
+        # Hard negatives: corner sites of the WARPED image (nudged off the
+        # true correspondences by the >=3 px jitter below).
+        xyn = _corner_correspondences(img1, rng, n_corr // 2, h, w,
+                                      jit_response)
+        xyn = xyn + rng.uniform(3.0, 6.0, xyn.shape) * rng.choice(
+            [-1.0, 1.0], xyn.shape
+        )
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(img0), jnp.asarray(img1),
             jnp.asarray(xy0), jnp.asarray(np.clip(xy1, 0, [w - 1, h - 1])),
             jnp.asarray(cv),
+            jnp.asarray(np.clip(xyn, 0, [w - 1, h - 1]).astype(np.float32)),
         )
         if log_every and i % log_every == 0:
             print(f"superpoint step {i}: loss {float(loss):.4f}", flush=True)
@@ -342,10 +366,25 @@ def _train_image(rng, h, w):
     return world.render(cam, pose)
 
 
-def _homography_pair(rng, frontend, extract, h, w, mag=0.12):
+class _ImagePool:
+    """Pre-rendered training-image pool. A SpriteWorld render costs ~1 s of
+    host time at 240x320 — per-step generation makes training host-bound
+    with the device idle. The homography, photometric jitter, and
+    correspondence sites stay fresh per step; reusing base images across
+    steps is the standard synthetic-pretraining trade (epochs)."""
+
+    def __init__(self, rng, h, w, size: int = 300):
+        self.images = [_train_image(rng, h, w) for _ in range(size)]
+        self.rng = rng
+
+    def sample(self):
+        return self.images[self.rng.integers(len(self.images))]
+
+
+def _homography_pair(rng, frontend, extract, h, w, mag=0.12, pool=None):
     """One training example: classical-frontend features of a texture and its
     homography warp, plus the GT assignment (nearest warped keypoint < 3 px)."""
-    img0 = _train_image(rng, h, w)
+    img0 = pool.sample() if pool is not None else _train_image(rng, h, w)
     H = random_homography(rng, h, w, mag=mag)
     img1 = warp_image(img0, H)
     f0 = extract(jnp.asarray(img0))
@@ -403,8 +442,10 @@ def train_lightglue_on_frontend(
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    pool = _ImagePool(rng, h, w)
     for i in range(steps):
-        f0, f1, gt_idx, gt_valid = _homography_pair(rng, frontend, extract, h, w)
+        f0, f1, gt_idx, gt_valid = _homography_pair(
+            rng, frontend, extract, h, w, pool=pool)
         params, opt_state, loss = step_fn(
             params, opt_state, f0.desc, f0.xy, f0.valid,
             f1.desc, f1.xy, f1.valid,
@@ -504,6 +545,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--sp-steps", type=int, default=None,
                    help="SuperPoint step count override (default: --steps)")
+    p.add_argument("--sp-resume", type=str, default="",
+                   help="resume SuperPoint training from this .npz")
+    p.add_argument("--sp-lr", type=float, default=1e-3)
     p.add_argument("--sp-size", type=str, default="120x160",
                    help="SuperPoint training image size HxW; larger sizes "
                         "give more detector cells per example and transfer "
@@ -545,7 +589,9 @@ def main(argv=None):
     sp_hw = tuple(int(v) for v in args.sp_size.split("x"))
     lg_hw = tuple(int(v) for v in args.lg_size.split("x"))
     if args.which in ("superpoint", "both"):
-        sp = train_superpoint(args.sp_steps or args.steps, img_size=sp_hw)
+        sp = train_superpoint(args.sp_steps or args.steps, img_size=sp_hw,
+                              lr=args.sp_lr,
+                              resume=args.sp_resume or None)
         superpoint.save_params(args.out / "superpoint.npz", sp)
         print(f"saved {args.out}/superpoint.npz")
     if args.which in ("lightglue", "lightglue-frontend", "both"):

@@ -78,13 +78,16 @@ def main():
             slam_step_batch, cam=cam, cfg=cfg, frontend=slam.frontend))
         out = fn(state, imgs, keys, active, None)
         jax.block_until_ready(out)
-        best = 1e9
+        # CHAIN state through the reps (each call consumes the previous
+        # call's output): identical-argument redispatches can be served
+        # from a backend-side cache on this tunnel, which silently turns a
+        # min-of-reps into a dispatch-latency measurement.
+        st = out[0]
+        t0 = time.perf_counter()
         for _ in range(reps):
-            t0 = time.perf_counter()
-            o = fn(state, imgs, keys, active, None)
-            jax.block_until_ready(o)
-            best = min(best, time.perf_counter() - t0)
-        dt = best / B * 1e3
+            st, infos = fn(st, imgs, keys, active, None)
+        jax.block_until_ready(st)
+        dt = (time.perf_counter() - t0) / reps / B * 1e3
         nkf = int(np.asarray(out[1].is_keyframe).sum())
         npts = int(np.asarray(out[0].map.num_points()))
         print(f"{name:44s} {dt:7.3f} ms/frame  (kf {nkf}/{B}, pts {npts})",
