@@ -284,7 +284,14 @@ def _banded_stage1(
     uv_pp = padp(uv_p)
     gate_pp = padp(gate_p, False)
     Pp = P + pad_p
-    n_tiles = Pp // tile_p
+    # Bounded sorted prefix: gated points sort first, so only the first G
+    # rows can ever be active — gathering [G, O, D] instead of [Pp, O, D]
+    # through the sort order halves the dominant per-frame HBM traffic of
+    # the banded path at 4x map capacity (the kernel also only DMAs G
+    # rows). Exactness: if gated points overflow G, `fits` below fails and
+    # the call falls back to the dense kernel, same as a too-wide band.
+    G = Pp if Pp < 8192 else max(tile_p, (Pp // 2 // tile_p) * tile_p)
+    n_tiles = G // tile_p
 
     # Keypoints sorted by y (invalid ones to the end), padded to the K grid.
     n_k = max(-(-K // tile_k), band_tiles)
@@ -301,10 +308,12 @@ def _banded_stage1(
     kp_desc_s = padk(kp_desc[kp_order])
     kp_ok_s = padk(kp_ok[kp_order], False)
 
-    # Points sorted gated-first by projected y.
+    # Points sorted gated-first by projected y; only the first G sorted
+    # rows are gathered/visited (see G above).
     p_y = jnp.where(gate_pp, uv_pp[:, 1], far)
     p_order = jnp.argsort(p_y)
-    p_y_s = p_y[p_order]
+    p_sel = p_order[:G]
+    p_y_s = p_y[p_sel]
 
     # Per point tile: covering keypoint band.
     y_t = p_y_s.reshape(n_tiles, tile_p)
@@ -318,13 +327,14 @@ def _banded_stage1(
     end = (jnp.maximum(hi_idx - 1, lo_idx) // tile_k).astype(jnp.int32)
     needed = jnp.where(has, end - start + 1, 1)
     start = jnp.clip(start, 0, n_k - band_tiles)
-    fits = jnp.all(needed <= band_tiles)
-    n_act = -(-jnp.sum(gate_pp) // tile_p)
+    n_gated = jnp.sum(gate_pp)
+    fits = jnp.all(needed <= band_tiles) & (n_gated <= G)
+    n_act = -(-n_gated // tile_p)
 
     def banded(_):
         bk_s, bd_s = guided_match_stage1_banded(
-            uv_pp[p_order], gate_pp[p_order],
-            padp(obs_desc)[p_order], padp(obs_valid, False)[p_order],
+            uv_pp[p_sel], gate_pp[p_sel],
+            padp(obs_desc)[p_sel], padp(obs_valid, False)[p_sel],
             kp_uv_s, kp_desc_s, kp_ok_s, start, n_act,
             radius_px=radius_px, tile_p=tile_p, tile_k=tile_k,
             band_tiles=band_tiles, interpret=interpret,
@@ -332,8 +342,8 @@ def _banded_stage1(
         # Back to original keypoint / point numbering.
         kp_order_p = padk(kp_order.astype(jnp.int32), 0)
         bk = kp_order_p[jnp.clip(bk_s, 0, Kp - 1)]
-        out_k = jnp.zeros((Pp,), jnp.int32).at[p_order].set(bk)
-        out_d = jnp.full((Pp,), _BIG).at[p_order].set(bd_s)
+        out_k = jnp.zeros((Pp,), jnp.int32).at[p_sel].set(bk)
+        out_d = jnp.full((Pp,), _BIG).at[p_sel].set(bd_s)
         return out_k[:P], out_d[:P]
 
     def dense(_):

@@ -215,3 +215,47 @@ def test_banded_backend_partial_gate(rng):
     np.testing.assert_array_equal(
         np.asarray(m_xla.point_idx)[v], np.asarray(m_band.point_idx)[v]
     )
+
+
+def test_banded_backend_prefix_cap(rng):
+    """At P >= 8192 the banded backend gathers only the first P/2 sorted
+    rows (ops/matching.py: bounded sorted prefix G). With gated points well
+    under the cap the result must still match XLA exactly; the cap is pure
+    traffic reduction, never semantics."""
+    import jax.numpy as jnp
+
+    cam, pose, X0, kp_uv, kp_desc, obs_desc0, obs_valid0 = _setup(
+        rng, P=500, K=1100, D=32, O=3
+    )
+    # Grow the map to 8192 slots: the first 500 are the real scene, the
+    # rest sit behind the camera (ungated but VALID — they still travel
+    # through the sort and would be gathered without the cap).
+    P, K = 8192, kp_uv.shape[0]
+    X = np.concatenate(
+        [X0, rng.normal(0, 2, (P - 500, 3)).astype(np.float32)
+         * [1, 1, -1] - [0, 0, 5]]
+    )
+    obs_desc = np.concatenate(
+        [obs_desc0,
+         rng.standard_normal((P - 500, 3, 32)).astype(np.float32)]
+    )
+    obs_valid = np.concatenate(
+        [obs_valid0, np.ones((P - 500, 3), bool)]
+    )
+    point_mask = np.ones(P, bool)
+    common = dict(max_distance=0.8, chunk=32)
+    args = (
+        cam, jnp.asarray(pose), jnp.asarray(X), jnp.asarray(point_mask),
+        jnp.asarray(obs_desc), jnp.asarray(obs_valid),
+        jnp.asarray(kp_uv), jnp.asarray(kp_desc), jnp.ones(K, bool),
+        jnp.zeros(K, bool), jnp.zeros(P, bool),
+    )
+    m_xla = match_map_to_frame(*args, backend="xla", **common)
+    m_band = match_map_to_frame(*args, backend="banded", **common)
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.valid), np.asarray(m_band.valid)
+    )
+    v = np.asarray(m_xla.valid)
+    np.testing.assert_array_equal(
+        np.asarray(m_xla.point_idx)[v], np.asarray(m_band.point_idx)[v]
+    )
