@@ -355,6 +355,15 @@ def main():
                     choices=("classical", "lightglue", "learned"))
     ap.add_argument("--masked", action="store_true")
     ap.add_argument("--radius", type=float, default=28.0)
+    ap.add_argument("--px-scale", default="auto",
+                    help="scale factor applied to the pixel-unit gates "
+                         "(match radius, RANSAC threshold, cull, inlier, "
+                         "triangulation acceptance). 'auto' = res/480: the "
+                         "gates are tuned in 480p pixels, and a fixed pixel "
+                         "gate is angularly 1.5x stricter at 720p — "
+                         "measured to starve triangulation and over-cull "
+                         "(720p ATE 3.3% vs 1.25%). Pass 1.0 for "
+                         "reference-literal fixed-pixel thresholds.")
     ap.add_argument("--prediction", default="constant_velocity",
                     choices=("constant_position", "constant_velocity",
                              "adaptive"),
@@ -414,8 +423,14 @@ def main():
     cam = make_cam(args.res)
     seeds = [int(s) for s in args.seeds.split(",") if s]
 
+    ps = (cam.height / 480.0) if args.px_scale == "auto" else float(args.px_scale)
+
     cfg = SlamConfig(
-        match_radius_px=args.radius,
+        match_radius_px=args.radius * ps,
+        ransac_threshold_px=0.4 * ps,
+        cull_reproj_px=3.0 * ps,
+        inlier_px=3.0 * ps,
+        triangulation_reproj_px=2.0 * ps,
         pose_prediction=args.prediction,
         min_commit_inliers=args.min_commit_inliers,
         essential_matrix_estimation=args.essential,

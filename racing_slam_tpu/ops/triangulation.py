@@ -77,6 +77,7 @@ def triangulate_points(
     uv1: jnp.ndarray,
     uv2: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    max_reproj_px: float = MAX_REPROJ_ERR_PX,
 ) -> Triangulated:
     """Triangulate N pixel correspondences between two posed views.
 
@@ -88,6 +89,10 @@ def triangulate_points(
       pose1, pose2: [4, 4] world->camera transforms.
       uv1, uv2: [N, 2] pixel coordinates.
       mask: optional [N] bool of which correspondences are real (padding -> False).
+      max_reproj_px: acceptance gate of filter 3 (reference hard-codes 2 px
+        at ITS native resolution, src/Triangulation.cpp:90; a fixed pixel
+        gate is angularly 1.5x stricter at 720p than at 480p, so
+        resolution-scaled configs pass a scaled value).
     """
     P1 = projection_matrix(cam, pose1)
     P2 = projection_matrix(cam, pose2)
@@ -112,7 +117,7 @@ def triangulate_points(
     # Filter 3: reprojection error in both views (Triangulation.cpp:84-92).
     r1 = jnp.linalg.norm(project_camera_points(cam, Xc1) - uv1, axis=-1)
     r2 = jnp.linalg.norm(project_camera_points(cam, Xc2) - uv2, axis=-1)
-    reproj_ok = (r1 <= MAX_REPROJ_ERR_PX) & (r2 <= MAX_REPROJ_ERR_PX)
+    reproj_ok = (r1 <= max_reproj_px) & (r2 <= max_reproj_px)
 
     valid = in_front & has_parallax & reproj_ok
     if mask is not None:

@@ -53,6 +53,14 @@ class SlamConfig:
     # refinement absorb the extra noise.
     min_commit_inliers: int = 0
     cull_reproj_px: float = 3.0  # src/Slam.cpp:234
+    # Triangulation acceptance gate (filter 3, src/Triangulation.cpp:90).
+    # All four pixel gates (this, cull_reproj_px, inlier_px,
+    # ransac_threshold_px) are tuned in REFERENCE pixels; at other
+    # resolutions a fixed pixel gate changes its angular meaning — 1.5x
+    # stricter at 720p — which starves triangulation/culls aggressively
+    # (measured: 720p ATE 3.3% vs 1.25% at 480p on the same world).
+    # bench.py --px-scale auto scales them with resolution.
+    triangulation_reproj_px: float = 2.0
     # Commit-time cull candidate budget. The cull sweep is incremental-exact
     # (pipeline._commit_keyframe: only points whose error inputs changed
     # this commit are re-checked, compacted to [cull_budget, O] rows); when

@@ -162,7 +162,8 @@ def _commit_keyframe(
         uv1 = kfs.kp_xy[last_slot][fm.train_idx]
         pose1 = se3.pose_matrix(kfs.rvec[last_slot], kfs.t[last_slot])
         pose2 = se3.pose_matrix(rvec, t)
-        tri = triangulate_points(cam, pose1, pose2, uv1, feat.xy, mask=un)
+        tri = triangulate_points(cam, pose1, pose2, uv1, feat.xy, mask=un,
+                                 max_reproj_px=cfg.triangulation_reproj_px)
         colors = bilinear_sample(img, feat.xy)
         K = feat.xy.shape[0]
         m, kfs, new_slots, new_created = create_points(
@@ -724,7 +725,9 @@ def try_initialize(
         threshold_px=cfg.ransac_threshold_px,
     )
     eye = jnp.eye(4)
-    tri = triangulate_points(cam, eye, est.pose, uv1, query_feat.xy, mask=fm.valid)
+    tri = triangulate_points(cam, eye, est.pose, uv1, query_feat.xy,
+                             mask=fm.valid,
+                             max_reproj_px=cfg.triangulation_reproj_px)
     return InitAttempt(
         pose=est.pose,
         n_triangulated=jnp.sum(tri.valid),
@@ -759,7 +762,9 @@ def commit_initialization(
         ref_img = ref_img.astype(jnp.float32) * (1.0 / 255.0)
     rvec_q, t_q = se3.rt_from_matrix(query_pose)
     uv1 = ref_feat.xy[match_train]
-    tri = triangulate_points(cam, eye, query_pose, uv1, query_feat.xy, mask=match_valid)
+    tri = triangulate_points(cam, eye, query_pose, uv1, query_feat.xy,
+                             mask=match_valid,
+                             max_reproj_px=cfg.triangulation_reproj_px)
 
     kfs = write_keyframe(
         kfs, 0, jnp.zeros(3), jnp.zeros(3), ref_feat, jnp.full((K,), -1), ref_index
