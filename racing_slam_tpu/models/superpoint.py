@@ -79,14 +79,23 @@ def init_params(key: jax.Array, desc_dim: int = DESC_DIM) -> SuperPointParams:
     )
 
 
-def _conv(x, w, b, stride=1):
-    """x: [H, W, C]; w: [k, k, cin, cout] (HWIO); bf16-friendly."""
+def _conv(x, w, b, stride=1, compute_dtype=None):
+    """x: [H, W, C]; w: [k, k, cin, cout] (HWIO).
+
+    compute_dtype=bfloat16 runs the conv as a bf16 MXU pass with f32
+    accumulation — inference-only (extract): the backbone is ~40 GFLOP/frame
+    at 640x480 and was the learned path's dominant per-frame cost in f32.
+    Training keeps f32 (gradients through bf16 convs quantize noisily)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x[None],
         w,
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
     )[0]
     return y + b
 
@@ -102,35 +111,47 @@ def _pool2(x):
     return x.reshape(Hp // 2, 2, Wp // 2, 2, C).max(axis=(1, 3))
 
 
-def backbone(params: SuperPointParams, img: jnp.ndarray) -> jnp.ndarray:
+def backbone(
+    params: SuperPointParams, img: jnp.ndarray, compute_dtype=None
+) -> jnp.ndarray:
     """[H, W] grayscale -> [H/8, W/8, C] features."""
     x = img[..., None]
     i = 0
     for stage in range(len(ENCODER_CHANNELS)):
         for _ in range(2):
-            x = jax.nn.relu(_conv(x, params.conv_w[i], params.conv_b[i]))
+            x = jax.nn.relu(
+                _conv(x, params.conv_w[i], params.conv_b[i],
+                      compute_dtype=compute_dtype)
+            )
             i += 1
         if stage < len(ENCODER_CHANNELS) - 1:
             x = _pool2(x)
     return x
 
 
-def heads_logits(params: SuperPointParams, feat: jnp.ndarray):
+def heads_logits(params: SuperPointParams, feat: jnp.ndarray,
+                 compute_dtype=None):
     """-> (detector logits [Hc, Wc, 65], dense descriptors [Hc, Wc, D]).
     The raw 65-way logits are the training surface (cell-wise CE against
     corner labels, the original SuperPoint formulation)."""
-    d = jax.nn.relu(_conv(feat, params.det_w[0], params.det_b[0]))
-    logits = _conv(d, params.det_w[1], params.det_b[1])  # [Hc, Wc, 65]
-    e = jax.nn.relu(_conv(feat, params.desc_w[0], params.desc_b[0]))
-    desc = _conv(e, params.desc_w[1], params.desc_b[1])  # [Hc, Wc, D]
+    d = jax.nn.relu(_conv(feat, params.det_w[0], params.det_b[0],
+                          compute_dtype=compute_dtype))
+    logits = _conv(d, params.det_w[1], params.det_b[1],
+                   compute_dtype=compute_dtype)  # [Hc, Wc, 65]
+    e = jax.nn.relu(_conv(feat, params.desc_w[0], params.desc_b[0],
+                          compute_dtype=compute_dtype))
+    desc = _conv(e, params.desc_w[1], params.desc_b[1],
+                 compute_dtype=compute_dtype)  # [Hc, Wc, D]
+    desc = desc.astype(jnp.float32)
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
     return logits, desc
 
 
-def heads(params: SuperPointParams, feat: jnp.ndarray):
+def heads(params: SuperPointParams, feat: jnp.ndarray, compute_dtype=None):
     """-> (heatmap [H, W], dense descriptors [H/8, W/8, D])."""
     Hc, Wc, _ = feat.shape
-    logits, desc = heads_logits(params, feat)
+    logits, desc = heads_logits(params, feat, compute_dtype=compute_dtype)
+    logits = logits.astype(jnp.float32)
     prob = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
     heat = prob.reshape(Hc, Wc, CELL, CELL).transpose(0, 2, 1, 3).reshape(
         Hc * CELL, Wc * CELL
@@ -244,12 +265,17 @@ class SuperPointFrontend:
         return self.n_per_cell * (-(-height // self.cell)) * (-(-width // self.cell))
 
     def extract(self, img: jnp.ndarray, mask: jnp.ndarray | None = None) -> Features:
-        feat = backbone(self.params, img)
-        heat, desc_map = heads(self.params, feat)
+        # Inference runs the conv stack in bf16 with f32 accumulation (the
+        # MXU's native mode; ~2x the f32 conv throughput and half the HBM
+        # traffic). Keypoint selection / subpixel refinement / descriptor
+        # normalization stay f32: the heatmap parabola fit and unit-norm
+        # descriptors are where rounding would actually surface.
+        feat = backbone(self.params, img, compute_dtype=jnp.bfloat16)
+        heat, desc_map = heads(self.params, feat, compute_dtype=jnp.bfloat16)
         xy, score, valid = select_keypoints(
             heat, mask, self.cell, self.n_per_cell, self.threshold
         )
-        desc = sample_descriptors(desc_map, xy)
+        desc = sample_descriptors(desc_map.astype(jnp.float32), xy)
         return Features(xy=xy, desc=desc, valid=valid, score=score)
 
 
