@@ -44,9 +44,11 @@ class LightGlueMatcher:
     (models/train.py, committed at racing_slam_tpu/weights/lightglue.npz)."""
 
     # Threshold picked by precision/recall sweep on held-out homography
-    # pairs (models/train.py eval): at 0.35 the trained matcher beats the
-    # classical mutual-1NN on BOTH precision (.949 vs .906) and recall
-    # (.937 vs .931).
+    # pairs (models/train.py eval). Round-5 weights at 0.35: on classical
+    # descriptors the trained matcher reaches precision .87 / recall .98
+    # (vs .93/.95 for mutual-1NN — it proposes more, recovering matches
+    # the distance gate drops); in-pipeline both trained pairings track
+    # the 304-frame bench at 1.2-1.4% full-trajectory ATE (BASELINE.md).
     def __init__(self, params, image_size: tuple[float, float],
                  threshold: float = 0.35, attn_backend: str = "auto"):
         self.params = params
